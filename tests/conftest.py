@@ -1,0 +1,30 @@
+"""Test configuration.
+
+Force JAX onto a virtual 8-device CPU platform *before* jax imports so
+sharding/mesh tests run anywhere; the real-TPU benchmark path is exercised
+by bench.py, not the test suite.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_global_tokenizer():
+    """Each test starts with an uninitialized global tokenizer."""
+    import hutoken_tpu
+
+    hutoken_tpu._reset()
+    yield
+    hutoken_tpu._reset()

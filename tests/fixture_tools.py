@@ -1,0 +1,142 @@
+"""Build offline tokenizer fixtures for differential testing.
+
+There is no network access in CI, so instead of downloading GPT-2 /
+PULI-LlumiX vocabularies we *train* small byte-level vocabularies on a
+fixed corpus and cross-check against independently implemented engines
+constructed from the same tables:
+
+* ``tiktoken.Encoding`` built from our ranks (a Rust BPE engine),
+* ``tokenizers`` (HF Rust) ``models.BPE`` built from our vocab+merges.
+
+This mirrors the reference's differential strategy
+(reference: tests/test_tokenizer.py:55-103) with offline-constructible
+oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hutoken_tpu.bytemaps import gpt2_bytes_to_unicode, gpt2_special_chars_table
+from hutoken_tpu.formats import write_special_chars_file
+from hutoken_tpu.train.bbpe import bbpe_train_core
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+_BASE_TEXT = (
+    "A gyors barna róka átugrik a lusta kutya fölött. "
+    "Az őszi szél végigsöpört a Duna-parton, és a fák levelei "
+    "aranyszínűre váltak. Öt szűk ütközőpont maradt a hídon. "
+    "The quick brown fox jumps over the lazy dog. "
+    "Programming languages map bytes to tokens with byte pair encoding. "
+    "Számítógépes nyelvészet: a tokenizálás a szöveg feldolgozásának "
+    "első lépése. Különböző írásrendszerek — például a kínai 中文 vagy "
+    "az emoji 🙂 — bájtsorozatokként jelennek meg. "
+    "Egy, kettő, három, négy, öt, hat, hét, nyolc, kilenc, tíz. "
+    "1234567890 42 2026 3.14159 0xFF. "
+    "   multiple   spaces\tand\nnewlines\r\nare whitespace too. "
+    "Árvíztűrő tükörfúrógép. ÁRVÍZTŰRŐ TÜKÖRFÚRÓGÉP. "
+)
+
+
+def _make_corpus() -> str:
+    """Seeded word-shuffled expansions of the base text, so pair counts
+    decay naturally and the trained vocab has word-fragment tokens instead
+    of whole repeated sentences."""
+    import random
+
+    rng = random.Random(42)
+    words = _BASE_TEXT.split(" ")
+    parts = [_BASE_TEXT]
+    for _ in range(12):
+        sample = [rng.choice(words) for _ in range(len(words))]
+        parts.append(" ".join(sample))
+    return " ".join(parts)
+
+
+# A fixed multilingual training corpus (own text; Hungarian-heavy to
+# exercise the accented alpha class).
+CORPUS = _make_corpus()
+
+VOCAB_SIZE = 768
+
+
+def remapped_spelling(token_bytes: bytes) -> str:
+    """GPT-2 byte-level spelling of raw token bytes."""
+    b2u = gpt2_bytes_to_unicode()
+    return "".join(b2u[b] for b in token_bytes)
+
+
+def build_ranks(
+    merge_log: list | None = None,
+) -> dict[bytes, int]:
+    """Train the fixture vocab; returns raw-bytes -> id (rank-ordered)."""
+    str2id = bbpe_train_core(
+        CORPUS.encode("utf-8"), VOCAB_SIZE, verbose=False, merge_log=merge_log
+    )
+    ranks = {}
+    for token, idx in str2id.items():
+        ranks[token if token else b"\x00"] = idx
+    return ranks
+
+
+def write_merges_fixture() -> str:
+    """Write a merges.txt (remapped spellings, one rule per line) matching
+    the byte-level fixture vocab's creation order."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    merges_path = os.path.join(FIXTURE_DIR, "bytelevel-merges.txt")
+    if os.path.exists(merges_path):
+        return merges_path
+    merge_log: list = []
+    build_ranks(merge_log=merge_log)
+    # reconstruct id -> bytes in creation order (robust to later overwrites)
+    id_to_bytes = {i: bytes([i]) for i in range(256)}
+    with open(merges_path, "w", encoding="utf-8") as f:
+        f.write("#version: fixture\n")
+        for id1, id2, new in merge_log:
+            left_b, right_b = id_to_bytes[id1], id_to_bytes[id2]
+            id_to_bytes[new] = left_b + right_b
+            f.write(f"{remapped_spelling(left_b)} {remapped_spelling(right_b)}\n")
+    return merges_path
+
+
+def write_byte_level_fixture() -> tuple[str, str]:
+    """Write gpt2-style (vocab, special_chars) fixture files; returns paths."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    vocab_path = os.path.join(FIXTURE_DIR, "bytelevel-vocab.txt")
+    special_path = os.path.join(FIXTURE_DIR, "bytelevel-vocab_special_chars.txt")
+    if os.path.exists(vocab_path) and os.path.exists(special_path):
+        return vocab_path, special_path
+
+    ranks = build_ranks()
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        for token, idx in sorted(ranks.items(), key=lambda kv: kv[1]):
+            spelled = remapped_spelling(token).encode("utf-8")
+            hex_token = "".join(f"0x{b:02X}" for b in spelled)
+            f.write(f"{hex_token} == {idx}\n")
+    write_special_chars_file(special_path, gpt2_special_chars_table())
+    return vocab_path, special_path
+
+
+def tiktoken_encoding():
+    """tiktoken.Encoding over the fixture ranks with a pattern equivalent
+    to the reference parser (documented: tests/test_parser.c:10-12)."""
+    import tiktoken
+
+    from hutoken_tpu.pretokenize import HUNGARIAN_ACCENTS
+
+    alpha = "A-Za-z" + HUNGARIAN_ACCENTS
+    ws = " \\t\\n\\x0B\\x0C\\r"
+    pat = (
+        f" ?[{alpha}]+"
+        f"| ?[0-9]+"
+        f"| ?[^{ws}0-9{alpha}]+"
+        f"| +"
+        f"|(?s:.)"
+    )
+    return tiktoken.Encoding(
+        name="hutoken-fixture",
+        pat_str=pat,
+        mergeable_ranks=build_ranks(),
+        special_tokens={},
+    )

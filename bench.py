@@ -1,0 +1,110 @@
+"""Throughput benchmark: byte-level BPE encode MB/s on the device engine.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "MB/s", "vs_baseline": N}
+
+Baseline target: 100 MB/s/chip byte-level BPE encode (BASELINE.json).
+
+The corpus is synthetic multilingual text with realistic word-frequency
+structure (Zipf-ish repetition plus a long tail of novel word forms), so
+the engine's dedup layer sees a natural unique-word ratio.  Conformance
+is cross-checked against the exact host oracle on a sample (and the
+oracle is differentially tested against tiktoken in tests/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import string
+import sys
+import time
+
+
+def build_corpus(target_mb: float, seed: int = 0) -> list[str]:
+    sys.path.insert(0, "tests")
+    import fixture_tools as ft
+
+    rng = random.Random(seed)
+    base_words = ft.CORPUS.split()
+    # long tail of novel forms (suffix/prefix mutations)
+    forms = set(base_words)
+    for w in list(base_words):
+        for _ in range(30):
+            forms.add(w + rng.choice(string.ascii_lowercase))
+            forms.add(
+                w
+                + rng.choice(string.ascii_lowercase)
+                + rng.choice(string.ascii_lowercase)
+            )
+    forms = list(forms)
+    # Zipf-ish sampling: mix frequent base words with rare forms
+    docs: list[str] = []
+    total = 0
+    target = int(target_mb * 1e6)
+    while total < target:
+        words = []
+        for _ in range(256):
+            if rng.random() < 0.7:
+                words.append(rng.choice(base_words))
+            else:
+                words.append(rng.choice(forms))
+        doc = " ".join(words)
+        docs.append(doc)
+        total += len(doc.encode())
+    return docs
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mb", type=float, default=64.0, help="corpus size MB")
+    parser.add_argument("--quick", action="store_true", help="small fast run")
+    parser.add_argument("--check", action="store_true", help="verify vs oracle")
+    args = parser.parse_args()
+    if args.quick:
+        args.mb = min(args.mb, 8.0)
+
+    sys.path.insert(0, "tests")
+    import fixture_tools as ft
+    from hutoken_tpu.context import TokenizerContext
+    from hutoken_tpu.engine import TpuTokenizer
+
+    vocab_path, special_path = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(vocab_path, special_path, is_byte_encoder=True)
+    engine = TpuTokenizer(ctx)
+
+    docs = build_corpus(args.mb)
+    total_bytes = sum(len(d.encode()) for d in docs)
+
+    # warmup: compile all bucket shapes
+    engine.encode_batch(docs[: min(len(docs), 64)])
+    engine._word_cache.clear()
+
+    t0 = time.perf_counter()
+    out = engine.encode_batch(docs)
+    dt = time.perf_counter() - t0
+    mbps = total_bytes / dt / 1e6
+
+    if args.check:
+        from hutoken_tpu import oracle
+
+        for d in docs[:3] + docs[-3:]:
+            want = oracle.encode(ctx, d)
+            got = out[docs.index(d)]
+            assert got == want, "conformance failure vs oracle"
+
+    print(
+        json.dumps(
+            {
+                "metric": "byte-level BPE encode throughput (1 chip)",
+                "value": round(mbps, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(mbps / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,322 @@
+"""TpuTokenizer: the batched device-backed tokenization engine.
+
+Pipeline for ``encode_batch`` (replaces the reference's pthread pool,
+src/taskqueue.c + src/lib.c:722-874, with batch vectorization):
+
+1. host: split every document into parser words (regex pass),
+2. host: deduplicate words (Zipf makes this a 5-20x reduction) and
+   compute each unique word's seed-element ids,
+3. host: bucket unique words by seed length (16/32/64/128 lanes),
+   padding each bucket to fixed shapes (static shapes for XLA),
+4. device: run the greedy-merge fixed point per bucket (ops/merge.py),
+5. host: reassemble per-document token lists through the inverse of the
+   dedup map, prepending the prefix token run where the reference would
+   (src/core.c:421-446).
+
+Words that cannot take the device fast path fall back to the exact host
+oracle per word, preserving byte-for-byte parity:
+
+* seed elements missing from the vocab (string path can still merge
+  them by spelling — src/core.c:700-722 works on strings),
+* words longer than the largest bucket,
+* glued-prefix first words (one per document, cached).
+
+``decode_batch`` gathers token bytes via numpy tables and reverses the
+byte->unicode remap with a vectorized single-char fast path (general
+multi-char replacement tables use the scalar AC-equivalent scan).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from . import oracle
+from .context import TokenizerContext
+from .pretokenize import encode_remap, split_words, split_words_pattern
+from .tables import EncoderTables, build_encoder_tables
+from .utils.logging import log_debug
+
+BUCKETS = (16, 32, 64, 128)
+MAX_DEVICE_LEN = BUCKETS[-1]
+# words per device launch, per bucket width (roughly constant lane count);
+# launches are issued asynchronously and synced once, so per-dispatch
+# latency (≈25 ms on tunneled devices) amortizes across the batch
+CHUNK_ROWS = {16: 65536, 32: 32768, 64: 16384, 128: 8192}
+SMALL_CHUNK_ROWS = {16: 2048, 32: 1024, 64: 512, 128: 256}
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (first jit of each block
+    shape costs seconds; the cache makes it once per machine)."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "HUTOKEN_TPU_XLA_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "hutoken_tpu", "xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # pragma: no cover - best effort
+        log_debug("compilation cache unavailable: %s", e)
+
+
+class TpuTokenizer:
+    """Object-style tokenizer bound to one TokenizerContext.
+
+    The module facade drives a global instance of this; it can also be
+    used directly for multi-tokenizer or sharded workloads.
+    """
+
+    def __init__(self, ctx: TokenizerContext, *, interpret: bool = False):
+        import jax  # deferred so host-only paths never require a device
+        import jax.numpy as jnp
+
+        _enable_compilation_cache()
+        self._jax = jax
+        self._jnp = jnp
+        self.ctx = ctx
+        self.tables: EncoderTables = build_encoder_tables(ctx)
+        pt = self.tables.pair_table
+        # the one-hot MXU probe relies on XLA fusing the [N, C] one_hot
+        # into the contraction; CPU XLA materializes it, so gate on a
+        # real accelerator backend
+        use_onehot = pt.onehot_ok and jax.default_backend() != "cpu"
+        self.table_arrays = (
+            jnp.asarray(pt.left),
+            jnp.asarray(pt.right),
+            jnp.asarray(pt.rank),
+            jnp.asarray(pt.merged),
+            pt.probe_len,
+            pt.capacity - 1,
+            use_onehot,
+        )
+        # per-word tokenization cache (exactness-preserving; the reference
+        # recomputes every time, caching is a pure speedup)
+        self._word_cache: dict[bytes, list[int]] = {}
+        self._prefix_run: Optional[list[int]] = None
+        self._build_decode_fast_path()
+
+    # ------------------------------------------------------------- encode
+
+    def _split(self, text: str) -> list[str]:
+        if self.ctx.compiled_pattern is not None:
+            return list(split_words_pattern(text, self.ctx.compiled_pattern))
+        return split_words(text)
+
+    def _prefix_token_run(self) -> list[int]:
+        """The standalone prefix token run (src/core.c:421-446), cached."""
+        if self._prefix_run is None:
+            prefix_encoded = encode_remap(
+                self.ctx.prefix, self.ctx.special_chars, None, self.ctx.is_byte_encoder
+            )
+            elements = oracle._seed_per_char(prefix_encoded)
+            self._prefix_run = oracle._merge_string_path(
+                elements, self.ctx.vocab.str2id
+            )
+        return list(self._prefix_run)
+
+    def _seed_word(self, word: bytes, glued_prefix: bool) -> Optional[np.ndarray]:
+        """Seed-element ids for a word, or None -> host fallback."""
+        t = self.tables
+        if glued_prefix:
+            return None  # rare (once per document), host handles exactly
+        if t.is_byte_encoder and t.byte_seed_ids is not None:
+            arr = np.frombuffer(word, dtype=np.uint8)
+            return t.byte_seed_ids[arr]
+        # general path: remap then seed by elements
+        spelled = encode_remap(word, self.ctx.special_chars, None, t.is_byte_encoder)
+        if t.uses_merges:
+            from .bytemaps import utf8_char_length
+
+            elems = []
+            i = 0
+            while i < len(spelled):
+                ln = utf8_char_length(spelled[i])
+                elems.append(spelled[i : i + ln])
+                i += ln
+        else:
+            from .tables import _seed_elements_of_spelling
+
+            elems = _seed_elements_of_spelling(spelled)
+        ids = [self.ctx.vocab.str2id.get(e) for e in elems]
+        if any(v is None for v in ids):
+            return None  # unknown seed: spelling-level merges possible
+        return np.array(ids, dtype=np.int32)
+
+    def _encode_word_host(self, word: bytes, prefix: Optional[bytes]) -> list[int]:
+        return oracle.encode_word(self.ctx, word, prefix)
+
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        for t in texts:
+            if "\x00" in t:
+                raise ValueError("embedded null character")
+
+        # 1-2: split + dedup
+        doc_words: list[list[tuple[bytes, bool]]] = []  # (word, glued)
+        doc_prefix_run: list[bool] = []
+        unique: dict[tuple[bytes, bool], int] = {}
+        uword_list: list[tuple[bytes, bool]] = []
+        for text in texts:
+            words = self._split(text)
+            add_prefix = not text.startswith(" ")
+            wants_prefix_run = (not add_prefix) and self.ctx.prefix is not None
+            entry: list[tuple[bytes, bool]] = []
+            first_real = True
+            for w in words:
+                wb = w.encode("utf-8")
+                if not wb:
+                    continue
+                glued = first_real and add_prefix and self.ctx.prefix is not None
+                first_real = False
+                key = (wb, glued)
+                if key not in unique:
+                    unique[key] = len(uword_list)
+                    uword_list.append(key)
+                entry.append(key)
+            doc_words.append(entry)
+            doc_prefix_run.append(wants_prefix_run and len(entry) > 0)
+
+        # 3: seed + bucket unique words
+        results: list[Optional[list[int]]] = [None] * len(uword_list)
+        buckets: dict[int, list[tuple[int, np.ndarray]]] = {b: [] for b in BUCKETS}
+        for idx, (wb, glued) in enumerate(uword_list):
+            cached = self._word_cache.get(wb) if not glued else None
+            if cached is not None:
+                results[idx] = cached
+                continue
+            seeds = self._seed_word(wb, glued)
+            if seeds is None or seeds.shape[0] > MAX_DEVICE_LEN:
+                results[idx] = self._encode_word_host(
+                    wb, self.ctx.prefix if glued else None
+                )
+                continue
+            if seeds.shape[0] <= 1:
+                results[idx] = [int(x) for x in seeds]
+                continue
+            for b in BUCKETS:
+                if seeds.shape[0] <= b:
+                    buckets[b].append((idx, seeds))
+                    break
+
+        # 4: device merge per bucket — issue every chunk asynchronously,
+        # then sync once (hides per-dispatch latency)
+        pending: list[tuple[object, list[tuple[int, np.ndarray]]]] = []
+        for b, items in buckets.items():
+            if not items:
+                continue
+            rows_big = CHUNK_ROWS[b]
+            rows_small = SMALL_CHUNK_ROWS[b]
+            lo = 0
+            while lo < len(items):
+                remaining = len(items) - lo
+                rows = rows_big if remaining > rows_small else rows_small
+                chunk = items[lo : lo + rows]
+                lo += rows
+                block = np.full((rows, b), -1, dtype=np.int32)
+                for r, (_, seeds) in enumerate(chunk):
+                    block[r, : seeds.shape[0]] = seeds
+                pending.append((self._merge_block(block), chunk))
+        for handle, chunk in pending:
+            out = np.asarray(handle)
+            for r, (idx, _) in enumerate(chunk):
+                row = out[r]
+                results[idx] = [int(x) for x in row[row != -1]]
+
+        # update cache
+        for idx, (wb, glued) in enumerate(uword_list):
+            if not glued and wb not in self._word_cache:
+                self._word_cache[wb] = results[idx]
+
+        # 5: reassemble
+        out_docs: list[list[int]] = []
+        for entry, wants_run in zip(doc_words, doc_prefix_run):
+            toks: list[int] = []
+            if wants_run:
+                toks.extend(self._prefix_token_run())
+            for key in entry:
+                toks.extend(results[unique[key]])
+            out_docs.append(toks)
+        return out_docs
+
+    def _merge_block(self, block: np.ndarray):
+        from .ops.merge import merge_words
+
+        return merge_words(self.table_arrays, self._jnp.asarray(block))
+
+    # ------------------------------------------------------------- decode
+
+    def _build_decode_fast_path(self) -> None:
+        """Vectorized reverse remap when every replacement is a single
+        UTF-8 char of <= 2 bytes (e.g. the GPT-2 byte-encoder table)."""
+        self._pat1 = np.full(256, -1, dtype=np.int32)
+        self._pat2 = np.full(65536, -1, dtype=np.int32)
+        fast = self.tables.is_byte_encoder
+        for idx, val in self.ctx.special_chars.items():
+            if len(val) == 1:
+                self._pat1[val[0]] = idx
+            elif len(val) == 2 and (val[0] & 0xE0) == 0xC0:
+                self._pat2[(val[0] << 8) | val[1]] = idx
+            else:
+                fast = False
+        self._decode_fast = fast
+
+    def decode_batch(self, token_lists: list[list[int]]) -> list[str]:
+        V = self.tables.vocab_size
+        out: list[str] = []
+        for ids in token_lists:
+            arr = np.asarray(ids, dtype=np.int64)
+            if arr.size and (arr.min() < 0 or arr.max() >= V):
+                raise ValueError(
+                    "Element must be non-negative and less than vocab size."
+                )
+            rows = self.tables.token_bytes[arr]  # [T, max_len]
+            lens = self.tables.token_lens[arr]
+            mask = (
+                np.arange(rows.shape[1], dtype=np.int32)[None, :] < lens[:, None]
+            )
+            raw = rows[mask].tobytes()
+            if self.ctx.prefix and raw.startswith(self.ctx.prefix):
+                raw = raw[len(self.ctx.prefix) :]
+            if self._decode_fast:
+                out.append(self._reverse_remap_np(raw).decode("utf-8"))
+            else:
+                out.append(oracle.reverse_remap(self.ctx, raw).decode("utf-8"))
+        return out
+
+    def _reverse_remap_np(self, raw: bytes) -> bytes:
+        """Per-char vectorized reverse remap (byte-encoder mode, single-char
+        patterns): each char start emits exactly one output byte
+        (src/pretokenizer.c:222-255 specialised)."""
+        if not raw:
+            return b""
+        data = np.frombuffer(raw, dtype=np.uint8)
+        n = data.shape[0]
+        is_start = (data & 0xC0) != 0x80
+        starts = np.flatnonzero(is_start)
+        b0 = data[starts].astype(np.int32)
+        nxt = np.minimum(starts + 1, n - 1)
+        b1 = data[nxt].astype(np.int32)
+
+        one_byte = b0 < 0x80
+        two_byte = (b0 & 0xE0) == 0xC0
+        key2 = (b0 << 8) | b1
+        p1 = self._pat1[b0]
+        p2 = np.where(two_byte, self._pat2[key2 & 0xFFFF], -1)
+        cp2 = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+
+        out = np.where(
+            one_byte,
+            np.where(p1 >= 0, p1, b0),
+            np.where(
+                p2 >= 0,
+                p2,
+                np.where(two_byte & (cp2 < 256), cp2, ord("?")),
+            ),
+        )
+        return out.astype(np.uint8).tobytes()

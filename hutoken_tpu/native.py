@@ -1,0 +1,238 @@
+"""ctypes binding to the native C++ host runtime (native/libhutoken_host.so).
+
+The native engine provides the host-side hot paths: parser splitting,
+dedup+packing for the device, exact scalar BPE (fallback + low-latency
+single-document encode), and batched decode — the capabilities the
+reference implements in C (src/core.c, src/parser.c, src/taskqueue.c),
+re-architected in C++17.
+
+The library is optional: when the .so is missing (or ``HUTOKEN_TPU_NO_
+NATIVE=1``), pure-Python equivalents are used.  Build with
+``make -C native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_lib: Optional[ctypes.CDLL] = None
+_probed = False
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _so_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native",
+        "libhutoken_host.so",
+    )
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _probed
+    if _probed:
+        return _lib
+    _probed = True
+    if os.environ.get("HUTOKEN_TPU_NO_NATIVE") == "1":
+        return None
+    path = _so_path()
+    if not os.path.exists(path):
+        # try to build it (toolchain is available in dev environments)
+        try:
+            import subprocess
+
+            subprocess.run(
+                ["make", "-C", os.path.dirname(path)],
+                capture_output=True,
+                timeout=120,
+                check=True,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+
+    lib.ht_create.restype = ctypes.c_void_p
+    lib.ht_destroy.argtypes = [ctypes.c_void_p]
+    lib.ht_set_vocab.argtypes = [
+        ctypes.c_void_p, _u8p, _i64p, _i32p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.ht_set_merges.argtypes = [
+        ctypes.c_void_p, _i32p, _i32p, _i32p, _i32p, ctypes.c_int64,
+    ]
+    lib.ht_set_special.argtypes = [
+        ctypes.c_void_p, _u8p, _i64p, _i32p, ctypes.c_int64,
+    ]
+    lib.ht_set_options.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, _u8p, ctypes.c_int64,
+    ]
+    lib.ht_encode_batch.restype = ctypes.c_int64
+    lib.ht_encode_batch.argtypes = [
+        ctypes.c_void_p, _u8p, _i64p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
+    ]
+    lib.ht_decode_batch.restype = ctypes.c_int
+    lib.ht_decode_batch.argtypes = [
+        ctypes.c_void_p, _i32p, _i64p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(_u8p), ctypes.POINTER(_i64p),
+    ]
+    lib.ht_free_i32.argtypes = [_i32p]
+    lib.ht_free_i64.argtypes = [_i64p]
+    lib.ht_free_u8.argtypes = [_u8p]
+    _lib = lib
+    return _lib
+
+
+def _np_i64p(a: np.ndarray):
+    return a.ctypes.data_as(_i64p)
+
+
+def _np_i32p(a: np.ndarray):
+    return a.ctypes.data_as(_i32p)
+
+
+def _np_u8p(a: np.ndarray):
+    return a.ctypes.data_as(_u8p)
+
+
+class NativeEngine:
+    """Host engine instance bound to one tokenizer context."""
+
+    def __init__(self, ctx) -> None:
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native host library unavailable")
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.ht_create())
+
+        # vocab
+        entries = list(ctx.vocab.str2id.items())
+        blob = b"".join(k for k, _ in entries)
+        offsets = np.zeros(len(entries) + 1, dtype=np.int64)
+        pos = 0
+        for i, (k, _) in enumerate(entries):
+            offsets[i] = pos
+            pos += len(k)
+        offsets[len(entries)] = pos
+        blob_np = np.frombuffer(blob, dtype=np.uint8).copy() if blob else np.zeros(1, np.uint8)
+        ids = np.array([v for _, v in entries], dtype=np.int32)
+        lib.ht_set_vocab(
+            self._h, _np_u8p(blob_np), _np_i64p(offsets), _np_i32p(ids),
+            len(entries), ctx.vocab.size,
+        )
+
+        # merges
+        if ctx.merges is not None and ctx.merges.num_rules:
+            rules = list(ctx.merges.rules.items())
+            left = np.array([k[0] for k, _ in rules], dtype=np.int32)
+            right = np.array([k[1] for k, _ in rules], dtype=np.int32)
+            rank = np.array([v[0] for _, v in rules], dtype=np.int32)
+            merged = np.array([v[1] for _, v in rules], dtype=np.int32)
+            lib.ht_set_merges(
+                self._h, _np_i32p(left), _np_i32p(right), _np_i32p(rank),
+                _np_i32p(merged), len(rules),
+            )
+
+        # special chars
+        sp = sorted(ctx.special_chars.items())
+        if sp:
+            blob = b"".join(v for _, v in sp)
+            soff = np.zeros(len(sp) + 1, dtype=np.int64)
+            pos = 0
+            for i, (_, v) in enumerate(sp):
+                soff[i] = pos
+                pos += len(v)
+            soff[len(sp)] = pos
+            sblob = np.frombuffer(blob, dtype=np.uint8).copy()
+            sidx = np.array([k for k, _ in sp], dtype=np.int32)
+            lib.ht_set_special(
+                self._h, _np_u8p(sblob), _np_i64p(soff), _np_i32p(sidx), len(sp)
+            )
+
+        prefix = ctx.prefix or b""
+        pref_np = (
+            np.frombuffer(prefix, dtype=np.uint8).copy()
+            if prefix
+            else np.zeros(1, np.uint8)
+        )
+        lib.ht_set_options(self._h, int(ctx.is_byte_encoder), _np_u8p(pref_np), len(prefix))
+        # pattern-based splitting is host-regex territory; the native
+        # engine only implements the default parser
+        self.supports_pattern = ctx.compiled_pattern is None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            if getattr(self, "_h", None):
+                self._lib.ht_destroy(self._h)
+        except Exception:
+            pass
+
+    def encode_batch(self, texts: list[str], num_threads: int = 1) -> list[list[int]]:
+        blob = b"".join(t.encode("utf-8") for t in texts)
+        doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
+        pos = 0
+        for i, t in enumerate(texts):
+            doc_off[i] = pos
+            pos += len(t.encode("utf-8"))
+        doc_off[len(texts)] = pos
+        blob_np = (
+            np.frombuffer(blob, dtype=np.uint8).copy()
+            if blob
+            else np.zeros(1, np.uint8)
+        )
+        out_toks = _i32p()
+        out_offs = _i64p()
+        self._lib.ht_encode_batch(
+            self._h, _np_u8p(blob_np), _np_i64p(doc_off), len(texts),
+            int(num_threads), ctypes.byref(out_toks), ctypes.byref(out_offs),
+        )
+        offs = np.ctypeslib.as_array(out_offs, shape=(len(texts) + 1,)).copy()
+        total = int(offs[-1])
+        toks = np.ctypeslib.as_array(out_toks, shape=(max(total, 1),)).copy()
+        self._lib.ht_free_i32(out_toks)
+        self._lib.ht_free_i64(out_offs)
+        return [
+            [int(x) for x in toks[offs[i] : offs[i + 1]]]
+            for i in range(len(texts))
+        ]
+
+    def decode_batch(self, token_lists: list[list[int]], num_threads: int = 1) -> list[str]:
+        flat = np.array(
+            [x for ids in token_lists for x in ids] or [0], dtype=np.int32
+        )
+        offs = np.zeros(len(token_lists) + 1, dtype=np.int64)
+        pos = 0
+        for i, ids in enumerate(token_lists):
+            offs[i] = pos
+            pos += len(ids)
+        offs[len(token_lists)] = pos
+        out_bytes = _u8p()
+        out_offs = _i64p()
+        rc = self._lib.ht_decode_batch(
+            self._h, _np_i32p(flat), _np_i64p(offs), len(token_lists),
+            int(num_threads), ctypes.byref(out_bytes), ctypes.byref(out_offs),
+        )
+        if rc != 0:
+            raise ValueError(
+                "Element must be non-negative and less than vocab size."
+            )
+        roffs = np.ctypeslib.as_array(out_offs, shape=(len(token_lists) + 1,)).copy()
+        total = int(roffs[-1])
+        data = np.ctypeslib.as_array(out_bytes, shape=(max(total, 1),)).copy()
+        self._lib.ht_free_u8(out_bytes)
+        self._lib.ht_free_i64(out_offs)
+        return [
+            bytes(data[roffs[i] : roffs[i + 1]]).decode("utf-8")
+            for i in range(len(token_lists))
+        ]

@@ -1,0 +1,282 @@
+"""Device table construction.
+
+Everything the reference keeps in pointer-based structures becomes fixed
+shape arrays the device can gather from:
+
+* **Pair-rank hash table** — open-addressed, power-of-two capacity,
+  linear probing with a build-time maximum probe length, stored as four
+  parallel int32 arrays (left, right, rank, merged).  It unifies the
+  reference's two BPE paths:
+
+  - *string path* (no merges.txt): rank of a pair is the vocab id of the
+    concatenated spelling (reference: src/core.c:700-722).  We enumerate
+    every split of every vocab token whose halves are both vocab tokens;
+    the resulting (left_id, right_id) -> (id(concat), id(concat)) table
+    is exactly equivalent whenever every element is a vocab token, which
+    holds for all words whose seed characters are in the vocab (the
+    engine falls back to the host oracle otherwise).
+  - *id path* (merges.txt): (left, right) -> (line rank, merged id)
+    (reference: src/lib.c:604-652, src/core.c:724-736).
+
+* **byte -> initial id** — composition of the special-chars replacement,
+  the >=0x80 2-byte expansion, and the per-char vocab lookup
+  (reference: src/pretokenizer.c:56-73 + src/core.c:460-474).
+
+* **decode byte table** — ``token_bytes[V, max_len]`` + ``lens[V]``
+  (reference: src/lib.c:422-448).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .bytemaps import utf8_char_length
+from .context import TokenizerContext
+from .pretokenize import encode_remap
+
+INF_RANK = np.int32(0x7FFFFFFF)
+
+
+def _mix_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 32-bit mix of an id pair (same shape in/out, uint32).
+
+    Wraparound is intended; must match the device probe in ops/merge.py.
+    """
+    with np.errstate(over="ignore"):
+        h = a.astype(np.uint32) * np.uint32(0x85EBCA6B)
+        h ^= b.astype(np.uint32) * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0x27D4EB2F)
+        h ^= h >> np.uint32(15)
+    return h
+
+
+@dataclass
+class PairTable:
+    """Open-addressed (left,right) -> (rank, merged) table."""
+
+    left: np.ndarray  # int32 [C], -1 = empty
+    right: np.ndarray  # int32 [C]
+    rank: np.ndarray  # int32 [C]
+    merged: np.ndarray  # int32 [C]
+    probe_len: int  # max displacement + 1: bounded unconditional probing
+    num_pairs: int
+    onehot_ok: bool = False  # capacity and values fit the MXU one-hot probe
+
+    @property
+    def capacity(self) -> int:
+        return int(self.left.shape[0])
+
+
+def build_pair_table(pairs: dict[tuple[int, int], tuple[int, int]]) -> PairTable:
+    """Insert all pairs with linear probing at load factor <= 0.5."""
+    n = max(len(pairs), 1)
+    cap = 1
+    while cap < 2 * n:
+        cap *= 2
+    while True:
+        left = np.full(cap, -1, dtype=np.int32)
+        right = np.full(cap, -1, dtype=np.int32)
+        rank = np.full(cap, INF_RANK, dtype=np.int32)
+        merged = np.full(cap, -1, dtype=np.int32)
+        mask = cap - 1
+        max_disp = 0
+        ok = True
+        for (a, b), (r, m) in pairs.items():
+            h = int(_mix_hash(np.uint32(a), np.uint32(b))) & mask
+            disp = 0
+            while left[h] != -1:
+                h = (h + 1) & mask
+                disp += 1
+                if disp > 64:
+                    ok = False
+                    break
+            if not ok:
+                break
+            left[h] = a
+            right[h] = b
+            rank[h] = r
+            merged[h] = m
+            max_disp = max(max_disp, disp)
+        if ok:
+            max_val = 0
+            for (a, b), (r, m) in pairs.items():
+                max_val = max(max_val, a, b, r, m)
+            onehot_ok = cap <= 16384 and max_val < (1 << 24)
+            return PairTable(
+                left=left,
+                right=right,
+                rank=rank,
+                merged=merged,
+                probe_len=max_disp + 1,
+                num_pairs=len(pairs),
+                onehot_ok=onehot_ok,
+            )
+        cap *= 2  # pathological clustering: grow and retry
+
+
+def enumerate_string_pairs(str2id: dict[bytes, int]) -> dict[tuple[int, int], tuple[int, int]]:
+    """All (left_id, right_id) with concat spelling in the vocab.
+
+    Equivalent to the reference's on-the-fly concat+lookup rank
+    (src/core.c:700-722) restricted to elements that are vocab tokens.
+    """
+    pairs: dict[tuple[int, int], tuple[int, int]] = {}
+    for token, tid in str2id.items():
+        if len(token) < 2:
+            continue
+        for k in range(1, len(token)):
+            a = str2id.get(token[:k])
+            if a is None:
+                continue
+            b = str2id.get(token[k:])
+            if b is None:
+                continue
+            pairs[(a, b)] = (tid, tid)
+    return pairs
+
+
+def merges_pairs(ctx: TokenizerContext) -> dict[tuple[int, int], tuple[int, int]]:
+    assert ctx.merges is not None
+    return dict(ctx.merges.rules)
+
+
+@dataclass
+class EncoderTables:
+    pair_table: PairTable
+    # byte mode: byte value -> list of seed element ids (usually length 1;
+    # a replacement spelling may seed several elements)
+    byte_seed_ids: Optional[np.ndarray]  # int32 [256] when all single-element
+    byte_seed_fallback: Optional[dict[int, list[int]]]
+    vocab_size: int
+    is_byte_encoder: bool
+    uses_merges: bool
+    # decode side
+    token_bytes: np.ndarray  # uint8 [V, max_len]
+    token_lens: np.ndarray  # int32 [V]
+    monotone: bool  # every pair's rank/merged exceeds both inputs' creation
+
+    def seed_ids_for_byte(self, b: int) -> list[int]:
+        if self.byte_seed_ids is not None:
+            v = int(self.byte_seed_ids[b])
+            return [v]
+        return self.byte_seed_fallback[b]
+
+
+def _seed_elements_of_spelling(spelling: bytes) -> list[bytes]:
+    """Split a remapped spelling into seed elements (per UTF-8 char, with
+    <0xNN> literals whole — src/core.c:49-55,483-487)."""
+    from .bytemaps import hex_token_length
+
+    out = []
+    i = 0
+    while i < len(spelling):
+        ln = hex_token_length(spelling, i)
+        if ln <= 0:
+            ln = utf8_char_length(spelling[i])
+        out.append(spelling[i : i + ln])
+        i += ln
+    return out
+
+
+def build_encoder_tables(ctx: TokenizerContext) -> EncoderTables:
+    str2id = ctx.vocab.str2id
+    if ctx.merges is not None:
+        pairs = merges_pairs(ctx)
+        uses_merges = True
+    else:
+        pairs = enumerate_string_pairs(str2id)
+        uses_merges = False
+    table = build_pair_table(pairs)
+
+    byte_seed_ids: Optional[np.ndarray] = None
+    byte_seed_fallback: Optional[dict[int, list[int]]] = None
+    if ctx.is_byte_encoder:
+        per_byte: dict[int, Optional[list[int]]] = {}
+        all_single = True
+        for b in range(256):
+            spelled = encode_remap(bytes([b]), ctx.special_chars, None, True)
+            if uses_merges:
+                # id path seeds per UTF-8 char (src/core.c:460-474)
+                elems = []
+                i = 0
+                while i < len(spelled):
+                    ln = utf8_char_length(spelled[i])
+                    elems.append(spelled[i : i + ln])
+                    i += ln
+            else:
+                elems = _seed_elements_of_spelling(spelled)
+            ids = [str2id.get(e) for e in elems]
+            if any(i is None for i in ids):
+                per_byte[b] = None  # word containing b goes to host fallback
+                all_single = False
+            else:
+                per_byte[b] = [int(i) for i in ids]
+                if len(ids) != 1:
+                    all_single = False
+        if all_single:
+            byte_seed_ids = np.array(
+                [per_byte[b][0] for b in range(256)], dtype=np.int32
+            )
+        byte_seed_fallback = {
+            b: (v if v is not None else []) for b, v in per_byte.items()
+        }
+
+    # decode tables
+    vocab_size = ctx.vocab.size
+    max_len = max((len(s) for s in ctx.vocab.id2str.values()), default=1)
+    max_len = max(max_len, 1)
+    token_bytes = np.zeros((max(vocab_size, 1), max_len), dtype=np.uint8)
+    token_lens = np.zeros(max(vocab_size, 1), dtype=np.int32)
+    for tid, s in ctx.vocab.id2str.items():
+        if 0 <= tid < vocab_size:
+            token_bytes[tid, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            token_lens[tid] = len(s)
+
+    # monotonicity check (informational / future fast paths): a table is
+    # monotone when every merged token's rank exceeds both constituents'
+    # best incoming rank.  NOT currently used to change semantics — see
+    # ops/merge.py for why batched local-min merging is inexact.
+    monotone = True
+    for (a, b), (r, m) in pairs.items():
+        # creation rank of a token = its id in the string path
+        if not uses_merges and (r <= a or r <= b):
+            if a > 255 or b > 255:
+                monotone = False
+                break
+
+    return EncoderTables(
+        pair_table=table,
+        byte_seed_ids=byte_seed_ids,
+        byte_seed_fallback=byte_seed_fallback,
+        vocab_size=vocab_size,
+        is_byte_encoder=ctx.is_byte_encoder,
+        uses_merges=uses_merges,
+        token_bytes=token_bytes,
+        token_lens=token_lens,
+        monotone=monotone,
+    )
+
+
+def lookup_pairs_np(
+    table: PairTable, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host (numpy) reference of the device probe — used in tests."""
+    mask = np.uint32(table.capacity - 1)
+    h = (_mix_hash(a, b) & mask).astype(np.int64)
+    rank = np.full(a.shape, INF_RANK, dtype=np.int32)
+    merged = np.full(a.shape, -1, dtype=np.int32)
+    found = np.zeros(a.shape, dtype=bool)
+    for i in range(table.probe_len):
+        slot = (h + i) & mask
+        hit = (~found) & (table.left[slot] == a) & (table.right[slot] == b)
+        rank = np.where(hit, table.rank[slot], rank)
+        merged = np.where(hit, table.merged[slot], merged)
+        found |= hit
+    valid = (a >= 0) & (b >= 0)
+    rank = np.where(valid, rank, INF_RANK)
+    merged = np.where(valid, merged, -1)
+    return rank, merged

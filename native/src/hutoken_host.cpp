@@ -1,0 +1,848 @@
+// hutoken-tpu native host runtime.
+//
+// Host-side tokenization engine with a C ABI for ctypes:
+//   * parser word splitting (same character classes as the Python
+//     pretokenize module; behavioral spec: reference src/parser.c),
+//   * byte/char remapping (spec: reference src/pretokenizer.c:30-100),
+//   * exact scalar greedy BPE, string-rank and merge-rank paths
+//     (spec: reference src/core.c:66-337 — merge the valid adjacent
+//     pair minimizing (rank, left_index) until none remains),
+//   * batched encode/decode with a std::thread pool over documents,
+//   * word-level dedup + seed packing for the TPU device path.
+//
+// This is a from-scratch C++17 implementation: flat open-addressed
+// hash maps keyed by 64-bit mixes of byte strings, arena-free (vectors
+// + reserve), slices as (ptr,len) pairs.
+//
+// Build: make -C native   ->  native/libhutoken_host.so
+
+#include <algorithm>
+#include <atomic>
+#include <cctype>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- hashing
+
+inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 33;
+  x *= 0xff51afd7ed558ccdULL;
+  x ^= x >> 33;
+  x *= 0xc4ceb9fe1a85ec53ULL;
+  x ^= x >> 33;
+  return x;
+}
+
+inline uint64_t hash_bytes(const uint8_t* p, size_t n) {
+  uint64_t h = 1469598103934665603ULL ^ (n * 0x9E3779B97F4A7C15ULL);
+  size_t i = 0;
+  while (i + 8 <= n) {
+    uint64_t k;
+    std::memcpy(&k, p + i, 8);
+    h = mix64(h ^ k);
+    i += 8;
+  }
+  uint64_t tail = 0;
+  for (size_t j = 0; i + j < n; ++j) tail |= uint64_t(p[i + j]) << (8 * j);
+  return mix64(h ^ tail);
+}
+
+// ------------------------------------------------- bytes -> id flat map
+
+struct StrMap {
+  // open addressing; slots store (hash, offset, len, id)
+  struct Slot {
+    uint64_t hash = 0;
+    int64_t off = -1;
+    int32_t len = 0;
+    int32_t id = 0;
+  };
+  std::vector<uint8_t> pool;
+  std::vector<Slot> slots;
+  uint64_t mask = 0;
+  size_t count = 0;
+
+  void reserve_slots(size_t n) {
+    size_t cap = 16;
+    while (cap < 2 * n + 8) cap <<= 1;
+    slots.assign(cap, Slot{});
+    mask = cap - 1;
+  }
+
+  void set(const uint8_t* p, int32_t len, int32_t id) {
+    if (count * 2 >= slots.size()) grow();
+    uint64_t h = hash_bytes(p, size_t(len));
+    size_t i = h & mask;
+    while (slots[i].off >= 0) {
+      if (slots[i].hash == h && slots[i].len == len &&
+          std::memcmp(pool.data() + slots[i].off, p, size_t(len)) == 0) {
+        slots[i].id = id;  // last-wins, like hashmap_set
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+    int64_t off = int64_t(pool.size());
+    pool.insert(pool.end(), p, p + len);
+    slots[i] = Slot{h, off, len, id};
+    ++count;
+  }
+
+  // lookup of the concatenation of two byte ranges without copying
+  bool get2(const uint8_t* a, int32_t la, const uint8_t* b, int32_t lb,
+            int32_t* out) const {
+    uint8_t buf[512];
+    const uint8_t* p;
+    int32_t len = la + lb;
+    std::string heap;
+    if (len <= int32_t(sizeof(buf))) {
+      std::memcpy(buf, a, size_t(la));
+      std::memcpy(buf + la, b, size_t(lb));
+      p = buf;
+    } else {
+      heap.assign(reinterpret_cast<const char*>(a), size_t(la));
+      heap.append(reinterpret_cast<const char*>(b), size_t(lb));
+      p = reinterpret_cast<const uint8_t*>(heap.data());
+    }
+    return get(p, len, out);
+  }
+
+  bool get(const uint8_t* p, int32_t len, int32_t* out) const {
+    if (slots.empty()) return false;
+    uint64_t h = hash_bytes(p, size_t(len));
+    size_t i = h & mask;
+    while (slots[i].off >= 0) {
+      if (slots[i].hash == h && slots[i].len == len &&
+          std::memcmp(pool.data() + slots[i].off, p, size_t(len)) == 0) {
+        *out = slots[i].id;
+        return true;
+      }
+      i = (i + 1) & mask;
+    }
+    return false;
+  }
+
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(slots);
+    size_t cap = std::max<size_t>(old.size() * 2, 16);
+    slots.assign(cap, Slot{});
+    mask = cap - 1;
+    for (const Slot& s : old) {
+      if (s.off < 0) continue;
+      size_t i = s.hash & mask;
+      while (slots[i].off >= 0) i = (i + 1) & mask;
+      slots[i] = s;
+    }
+  }
+};
+
+// ------------------------------------------------ (id,id) -> value map
+
+struct PairMap {
+  struct Slot {
+    int64_t key = -1;
+    int32_t rank = 0;
+    int32_t merged = 0;
+  };
+  std::vector<Slot> slots;
+  uint64_t mask = 0;
+  size_t count = 0;
+
+  void reserve_slots(size_t n) {
+    size_t cap = 16;
+    while (cap < 2 * n + 8) cap <<= 1;
+    slots.assign(cap, Slot{});
+    mask = cap - 1;
+  }
+
+  void set(int32_t a, int32_t b, int32_t rank, int32_t merged) {
+    if (slots.empty()) reserve_slots(16);
+    if (count * 2 >= slots.size()) grow();
+    int64_t key = (int64_t(a) << 32) | uint32_t(b);
+    size_t i = mix64(uint64_t(key)) & mask;
+    while (slots[i].key >= 0) {
+      if (slots[i].key == key) {
+        slots[i].rank = rank;
+        slots[i].merged = merged;
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+    slots[i] = Slot{key, rank, merged};
+    ++count;
+  }
+
+  bool get(int32_t a, int32_t b, int32_t* rank, int32_t* merged) const {
+    if (slots.empty() || a < 0 || b < 0) return false;
+    int64_t key = (int64_t(a) << 32) | uint32_t(b);
+    size_t i = mix64(uint64_t(key)) & mask;
+    while (slots[i].key >= 0) {
+      if (slots[i].key == key) {
+        *rank = slots[i].rank;
+        *merged = slots[i].merged;
+        return true;
+      }
+      i = (i + 1) & mask;
+    }
+    return false;
+  }
+
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(slots);
+    size_t cap = std::max<size_t>(old.size() * 2, 16);
+    slots.assign(cap, Slot{});
+    mask = cap - 1;
+    for (const Slot& s : old) {
+      if (s.key < 0) continue;
+      size_t i = mix64(uint64_t(s.key)) & mask;
+      while (slots[i].key >= 0) i = (i + 1) & mask;
+      slots[i] = s;
+    }
+  }
+};
+
+// --------------------------------------------------------------- parser
+
+inline int u8len(uint8_t b) {
+  if ((b & 0x80) == 0) return 1;
+  if ((b & 0xE0) == 0xC0) return 2;
+  if ((b & 0xF0) == 0xE0) return 3;
+  if ((b & 0xF8) == 0xF0) return 4;
+  return 1;
+}
+
+// decode with validation of continuation bytes; 0 on invalid (the parser
+// classes treat invalid sequences as un-consumable, spec src/parser.c:144)
+inline uint32_t decode_utf8_checked(const uint8_t* p, const uint8_t* end,
+                                    int* len) {
+  if (p >= end) return 0;
+  uint8_t b0 = p[0];
+  if (b0 < 0x80) {
+    *len = 1;
+    return b0;
+  }
+  if ((b0 & 0xE0) == 0xC0) {
+    if (p + 1 >= end || (p[1] & 0xC0) != 0x80) return 0;
+    *len = 2;
+    return (uint32_t(b0 & 0x1F) << 6) | (p[1] & 0x3F);
+  }
+  if ((b0 & 0xF0) == 0xE0) {
+    if (p + 2 >= end || (p[1] & 0xC0) != 0x80 || (p[2] & 0xC0) != 0x80)
+      return 0;
+    *len = 3;
+    return (uint32_t(b0 & 0x0F) << 12) | (uint32_t(p[1] & 0x3F) << 6) |
+           (p[2] & 0x3F);
+  }
+  if ((b0 & 0xF8) == 0xF0) {
+    if (p + 3 >= end || (p[1] & 0xC0) != 0x80 || (p[2] & 0xC0) != 0x80 ||
+        (p[3] & 0xC0) != 0x80)
+      return 0;
+    *len = 4;
+    return (uint32_t(b0 & 0x07) << 18) | (uint32_t(p[1] & 0x3F) << 12) |
+           (uint32_t(p[2] & 0x3F) << 6) | (p[3] & 0x3F);
+  }
+  return 0;
+}
+
+inline bool is_hu_alpha(uint32_t cp) {
+  if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) return true;
+  switch (cp) {
+    case 0x00E1: case 0x00E9: case 0x00ED: case 0x00F3: case 0x00FA:
+    case 0x0151: case 0x0171: case 0x00FC: case 0x00F6:
+    case 0x00C1: case 0x00C9: case 0x00CD: case 0x00D3: case 0x00DA:
+    case 0x0150: case 0x0170: case 0x00DC: case 0x00D6:
+      return true;
+    default:
+      return false;
+  }
+}
+
+inline bool is_ws(uint32_t cp) {
+  return cp == ' ' || cp == '\t' || cp == '\n' || cp == '\v' || cp == '\f' ||
+         cp == '\r';
+}
+
+inline bool is_dig(uint32_t cp) { return cp >= '0' && cp <= '9'; }
+
+inline bool is_oth(uint32_t cp) {
+  return cp != 0 && !is_ws(cp) && !is_hu_alpha(cp) && !is_dig(cp);
+}
+
+// emit word slices [start, end) into out; returns count
+size_t split_words(const uint8_t* text, size_t n,
+                   std::vector<std::pair<int64_t, int64_t>>& out) {
+  const uint8_t* end = text + n;
+  size_t pos = 0;
+  while (pos < n) {
+    // class cascade with one optional leading 0x20
+    bool matched = false;
+    for (int cls = 0; cls < 3 && !matched; ++cls) {
+      size_t s = pos;
+      if (text[s] == ' ') ++s;
+      size_t e = s;
+      while (e < n) {
+        int len = 0;
+        uint32_t cp = decode_utf8_checked(text + e, end, &len);
+        bool ok = cls == 0   ? is_hu_alpha(cp)
+                  : cls == 1 ? is_dig(cp)
+                             : is_oth(cp);
+        if (cp == 0 || !ok) break;
+        e += size_t(len);
+      }
+      if (e > s) {
+        out.emplace_back(int64_t(pos), int64_t(e));
+        pos = e;
+        matched = true;
+      }
+    }
+    if (matched) continue;
+    if (text[pos] == ' ') {
+      size_t e = pos + 1;
+      while (e < n && text[e] == ' ') ++e;
+      out.emplace_back(int64_t(pos), int64_t(e));
+      pos = e;
+      continue;
+    }
+    out.emplace_back(int64_t(pos), int64_t(pos + 1));
+    ++pos;
+  }
+  return out.size();
+}
+
+// ---------------------------------------------------------------- engine
+
+struct Engine {
+  StrMap vocab;                        // spelling -> id (last wins)
+  PairMap merges;                      // id-path rules
+  bool has_merges = false;
+  std::vector<std::string> special;    // 256-entry replacement table
+  std::vector<bool> has_special;
+  std::string prefix;
+  bool is_byte_encoder = false;
+  // decode tables
+  std::vector<std::string> id2str;
+  int64_t vocab_size = 0;
+  // reverse remap patterns sorted by length desc
+  std::vector<std::pair<std::string, int>> rev_patterns;
+  size_t max_pattern_len = 0;
+
+  Engine() : special(256), has_special(256, false) {}
+
+  // length of a <0xNN..> literal at p, or -1 (spec: src/core.c:35-47)
+  static int hex_literal_len(const uint8_t* p, size_t n) {
+    if (n < 4 || p[0] != '<' || p[1] != '0' || (p[2] != 'x' && p[2] != 'X'))
+      return -1;
+    size_t i = 3;
+    while (i < n && std::isxdigit(p[i])) ++i;
+    if (i < n && p[i] == '>') return int(i) + 1;
+    return -1;
+  }
+
+  // scalar greedy merge, string path: elements are slices of `spelled`
+  void encode_string_path(const std::string& spelled,
+                          std::vector<int32_t>& out) const {
+    const uint8_t* s = reinterpret_cast<const uint8_t*>(spelled.data());
+    size_t n = spelled.size();
+    // seed: per char, <0xNN> literals whole (thread-local scratch avoids
+    // per-word allocation churn)
+    static thread_local std::vector<std::pair<int32_t, int32_t>> elems;
+    elems.clear();
+    size_t i = 0;
+    while (i < n) {
+      int ln = hex_literal_len(s + i, n - i);
+      if (ln <= 0) ln = u8len(s[i]);
+      elems.emplace_back(int32_t(i), int32_t(ln));
+      i += size_t(ln);
+    }
+    size_t m = elems.size();
+    if (m > 1) {
+      static thread_local std::vector<int32_t> ranks;
+      ranks.assign(m - 1, 0);
+      auto rank_of = [&](size_t j) -> int32_t {
+        int32_t id;
+        if (vocab.get2(s + elems[j].first, elems[j].second,
+                       s + elems[j + 1].first, elems[j + 1].second, &id))
+          return id;
+        return INT32_MAX;
+      };
+      for (size_t j = 0; j + 1 < m; ++j) ranks[j] = rank_of(j);
+      while (true) {
+        int32_t best = INT32_MAX;
+        size_t bi = SIZE_MAX;
+        for (size_t j = 0; j + 1 < m; ++j) {
+          if (ranks[j] < best) {
+            best = ranks[j];
+            bi = j;
+          }
+        }
+        if (bi == SIZE_MAX) break;
+        elems[bi].second += elems[bi + 1].second;
+        elems.erase(elems.begin() + bi + 1);
+        ranks.erase(ranks.begin() + bi);
+        --m;
+        if (bi > 0) ranks[bi - 1] = rank_of(bi - 1);
+        if (bi + 1 < m) ranks[bi] = rank_of(bi);
+      }
+    }
+    for (size_t j = 0; j < m; ++j) {
+      int32_t id;
+      out.push_back(vocab.get(s + elems[j].first, elems[j].second, &id) ? id
+                                                                        : -1);
+    }
+  }
+
+  // scalar greedy merge, id path (merges.txt ranks)
+  void encode_id_path(const std::string& spelled,
+                      std::vector<int32_t>& out) const {
+    const uint8_t* s = reinterpret_cast<const uint8_t*>(spelled.data());
+    size_t n = spelled.size();
+    std::vector<int32_t> ids;
+    size_t i = 0;
+    while (i < n) {
+      int ln = u8len(s[i]);
+      int32_t id;
+      ids.push_back(vocab.get(s + i, ln, &id) ? id : -1);
+      i += size_t(ln);
+    }
+    size_t m = ids.size();
+    if (m > 1) {
+      std::vector<int32_t> ranks(m - 1);
+      auto rank_of = [&](size_t j) -> int32_t {
+        int32_t r, mg;
+        return merges.get(ids[j], ids[j + 1], &r, &mg) ? r : INT32_MAX;
+      };
+      for (size_t j = 0; j + 1 < m; ++j) ranks[j] = rank_of(j);
+      while (true) {
+        int32_t best = INT32_MAX;
+        size_t bi = SIZE_MAX;
+        for (size_t j = 0; j + 1 < m; ++j) {
+          if (ranks[j] < best) {
+            best = ranks[j];
+            bi = j;
+          }
+        }
+        if (bi == SIZE_MAX) break;
+        int32_t r, mg;
+        merges.get(ids[bi], ids[bi + 1], &r, &mg);
+        ids[bi] = mg;
+        ids.erase(ids.begin() + bi + 1);
+        ranks.erase(ranks.begin() + bi);
+        --m;
+        if (bi > 0) ranks[bi - 1] = rank_of(bi - 1);
+        if (bi + 1 < m) ranks[bi] = rank_of(bi);
+      }
+    }
+    out.insert(out.end(), ids.begin(), ids.end());
+  }
+
+  void encode_word(const uint8_t* w, size_t n, bool with_prefix,
+                   std::vector<int32_t>& out) const {
+    std::string spelled;
+    spelled.reserve(n * 2 + prefix.size());
+    if (with_prefix && !prefix.empty())
+      spelled.append(prefix);  // glued unremapped before the word's remap
+    remap_no_prefix(w, n, spelled);
+    if (spelled.empty()) return;
+    if (has_merges)
+      encode_id_path(spelled, out);
+    else
+      encode_string_path(spelled, out);
+  }
+
+  void remap_no_prefix(const uint8_t* w, size_t n, std::string& out) const {
+    size_t i = 0;
+    while (i < n) {
+      uint8_t b = w[i];
+      size_t clen = is_byte_encoder ? 1 : size_t(u8len(b));
+      if (has_special[b]) {
+        out.append(special[b]);
+      } else if (is_byte_encoder && b >= 0x80) {
+        out.push_back(char(0xC0 | (b >> 6)));
+        out.push_back(char(0x80 | (b & 0x3F)));
+      } else {
+        out.append(reinterpret_cast<const char*>(w + i),
+                   std::min(clen, n - i));
+      }
+      i += clen;
+    }
+  }
+
+  // full-document encode (prefix state machine: src/core.c:364-366,421-450)
+  void encode_doc(const uint8_t* text, size_t n,
+                  std::vector<int32_t>& out) const {
+    std::vector<std::pair<int64_t, int64_t>> words;
+    split_words(text, n, words);
+    bool add_prefix = n == 0 || text[0] != ' ';
+    bool add_prefix_token = !add_prefix;
+    for (auto& [s, e] : words) {
+      if (e <= s) continue;
+      if (add_prefix_token && !prefix.empty()) {
+        // standalone prefix run: remap + per-char seed + string merge
+        std::string sp;
+        remap_no_prefix(reinterpret_cast<const uint8_t*>(prefix.data()),
+                        prefix.size(), sp);
+        encode_string_path_per_char(sp, out);
+        add_prefix_token = false;
+      }
+      encode_word(text + s, size_t(e - s), add_prefix, out);
+      add_prefix = false;
+    }
+  }
+
+  // per-char seeding without <0xNN> grouping (prefix run, src/core.c:432-437)
+  void encode_string_path_per_char(const std::string& spelled,
+                                   std::vector<int32_t>& out) const {
+    // identical to encode_string_path but seeds per char only
+    std::string tmp = spelled;
+    // reuse by temporarily encoding with hex grouping disabled
+    const uint8_t* s = reinterpret_cast<const uint8_t*>(tmp.data());
+    size_t n = tmp.size();
+    std::vector<std::pair<int32_t, int32_t>> elems;
+    size_t i = 0;
+    while (i < n) {
+      int ln = u8len(s[i]);
+      elems.emplace_back(int32_t(i), int32_t(ln));
+      i += size_t(ln);
+    }
+    size_t m = elems.size();
+    if (m > 1) {
+      std::vector<int32_t> ranks(m - 1);
+      auto rank_of = [&](size_t j) -> int32_t {
+        int32_t id;
+        if (vocab.get2(s + elems[j].first, elems[j].second,
+                       s + elems[j + 1].first, elems[j + 1].second, &id))
+          return id;
+        return INT32_MAX;
+      };
+      for (size_t j = 0; j + 1 < m; ++j) ranks[j] = rank_of(j);
+      while (true) {
+        int32_t best = INT32_MAX;
+        size_t bi = SIZE_MAX;
+        for (size_t j = 0; j + 1 < m; ++j)
+          if (ranks[j] < best) { best = ranks[j]; bi = j; }
+        if (bi == SIZE_MAX) break;
+        elems[bi].second += elems[bi + 1].second;
+        elems.erase(elems.begin() + bi + 1);
+        ranks.erase(ranks.begin() + bi);
+        --m;
+        if (bi > 0) ranks[bi - 1] = rank_of(bi - 1);
+        if (bi + 1 < m) ranks[bi] = rank_of(bi);
+      }
+    }
+    for (size_t j = 0; j < m; ++j) {
+      int32_t id;
+      out.push_back(vocab.get(s + elems[j].first, elems[j].second, &id) ? id
+                                                                        : -1);
+    }
+  }
+
+  // decode one document: ids -> bytes -> reverse remap (src/core.c:513-581,
+  // src/pretokenizer.c:197-296).  Returns false on out-of-range id.
+  bool decode_doc(const int32_t* ids, int64_t n, std::string& out) const {
+    std::string raw;
+    for (int64_t i = 0; i < n; ++i) {
+      if (ids[i] < 0 || ids[i] >= vocab_size) return false;
+      if (ids[i] < int64_t(id2str.size())) raw.append(id2str[ids[i]]);
+    }
+    const uint8_t* p = reinterpret_cast<const uint8_t*>(raw.data());
+    size_t len = raw.size();
+    size_t i = 0;
+    if (!prefix.empty() && len >= prefix.size() &&
+        std::memcmp(raw.data(), prefix.data(), prefix.size()) == 0)
+      i = prefix.size();
+    while (i < len) {
+      bool matched = false;
+      for (auto& [pat, idx] : rev_patterns) {
+        if (pat.size() <= len - i &&
+            std::memcmp(raw.data() + i, pat.data(), pat.size()) == 0) {
+          out.push_back(char(uint8_t(idx)));
+          i += pat.size();
+          matched = true;
+          break;
+        }
+      }
+      if (matched) continue;
+      if (is_byte_encoder) {
+        int cl = 0;
+        uint32_t cp;
+        uint8_t b0 = p[i];
+        if (b0 < 0x80) { cp = b0; cl = 1; }
+        else if ((b0 & 0xE0) == 0xC0 && i + 1 < len) {
+          cp = (uint32_t(b0 & 0x1F) << 6) | (p[i + 1] & 0x3F); cl = 2;
+        } else if ((b0 & 0xF0) == 0xE0 && i + 2 < len) {
+          cp = 0x10000; cl = 3;
+        } else if ((b0 & 0xF8) == 0xF0 && i + 3 < len) {
+          cp = 0x10000; cl = 4;
+        } else { cp = 0xFFFD; cl = 1; }
+        out.push_back(cp < 256 ? char(uint8_t(cp)) : '?');
+        i += size_t(cl);
+      } else {
+        int cl = u8len(p[i]);
+        out.append(raw, i, size_t(cl));
+        i += size_t(cl);
+      }
+    }
+    return true;
+  }
+};
+
+}  // namespace
+
+// ----------------------------------------------------------------- C ABI
+
+extern "C" {
+
+Engine* ht_create() { return new Engine(); }
+void ht_destroy(Engine* e) { delete e; }
+
+int ht_set_vocab(Engine* e, const uint8_t* bytes, const int64_t* offsets,
+                 const int32_t* ids, int64_t n, int64_t vocab_size) {
+  e->vocab.reserve_slots(size_t(n));
+  int32_t max_id = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t len = int32_t(offsets[i + 1] - offsets[i]);
+    e->vocab.set(bytes + offsets[i], len, ids[i]);
+    max_id = std::max(max_id, ids[i]);
+  }
+  e->vocab_size = vocab_size;
+  e->id2str.assign(size_t(max_id) + 1, std::string());
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t len = int32_t(offsets[i + 1] - offsets[i]);
+    // decode table mirrors the surviving hashmap entries (last wins)
+    int32_t id;
+    if (e->vocab.get(bytes + offsets[i], len, &id) && id == ids[i]) {
+      e->id2str[size_t(ids[i])].assign(
+          reinterpret_cast<const char*>(bytes + offsets[i]), size_t(len));
+    }
+  }
+  return 0;
+}
+
+int ht_set_merges(Engine* e, const int32_t* left, const int32_t* right,
+                  const int32_t* rank, const int32_t* merged, int64_t n) {
+  e->merges.reserve_slots(size_t(n));
+  for (int64_t i = 0; i < n; ++i)
+    e->merges.set(left[i], right[i], rank[i], merged[i]);
+  e->has_merges = n > 0;
+  return 0;
+}
+
+int ht_set_special(Engine* e, const uint8_t* bytes, const int64_t* offsets,
+                   const int32_t* idx, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    int b = idx[i];
+    if (b < 0 || b > 255) continue;
+    e->special[b].assign(
+        reinterpret_cast<const char*>(bytes + offsets[i]),
+        size_t(offsets[i + 1] - offsets[i]));
+    e->has_special[b] = true;
+  }
+  e->rev_patterns.clear();
+  for (int b = 0; b < 256; ++b)
+    if (e->has_special[b]) e->rev_patterns.emplace_back(e->special[b], b);
+  std::sort(e->rev_patterns.begin(), e->rev_patterns.end(),
+            [](auto& x, auto& y) { return x.first.size() > y.first.size(); });
+  return 0;
+}
+
+void ht_set_options(Engine* e, int is_byte_encoder, const uint8_t* prefix,
+                    int64_t prefix_len) {
+  e->is_byte_encoder = is_byte_encoder != 0;
+  e->prefix.assign(reinterpret_cast<const char*>(prefix), size_t(prefix_len));
+}
+
+// Encode a batch of documents.  texts = concatenated UTF-8; doc_offsets has
+// n_docs+1 entries.  Output: caller passes result callback-free contract —
+// we allocate; caller frees with ht_free_*.
+int64_t ht_encode_batch(Engine* e, const uint8_t* text,
+                        const int64_t* doc_offsets, int64_t n_docs,
+                        int n_threads, int32_t** out_tokens,
+                        int64_t** out_offsets) {
+  std::vector<std::vector<int32_t>> results(static_cast<size_t>(n_docs));
+  n_threads = std::max(1, n_threads);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_docs) break;
+      e->encode_doc(text + doc_offsets[i],
+                    size_t(doc_offsets[i + 1] - doc_offsets[i]),
+                    results[size_t(i)]);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto& r : results) total += int64_t(r.size());
+  auto* offs = static_cast<int64_t*>(malloc(sizeof(int64_t) * (n_docs + 1)));
+  auto* toks = static_cast<int32_t*>(malloc(sizeof(int32_t) * std::max<int64_t>(total, 1)));
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_docs; ++i) {
+    offs[i] = pos;
+    std::memcpy(toks + pos, results[size_t(i)].data(),
+                results[size_t(i)].size() * sizeof(int32_t));
+    pos += int64_t(results[size_t(i)].size());
+  }
+  offs[n_docs] = pos;
+  *out_tokens = toks;
+  *out_offsets = offs;
+  return total;
+}
+
+// Decode a batch.  tokens flat + offsets; returns 0 on success, -1 on any
+// out-of-range id (first error wins, like src/lib.c:1055-1062).
+int ht_decode_batch(Engine* e, const int32_t* tokens,
+                    const int64_t* offsets, int64_t n_docs, int n_threads,
+                    uint8_t** out_bytes, int64_t** out_offsets) {
+  std::vector<std::string> results(static_cast<size_t>(n_docs));
+  std::atomic<int64_t> next(0);
+  std::atomic<bool> failed(false);
+  n_threads = std::max(1, n_threads);
+  auto worker = [&]() {
+    while (!failed.load(std::memory_order_relaxed)) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_docs) break;
+      if (!e->decode_doc(tokens + offsets[i], offsets[i + 1] - offsets[i],
+                         results[size_t(i)]))
+        failed.store(true);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  if (failed.load()) return -1;
+  int64_t total = 0;
+  for (auto& r : results) total += int64_t(r.size());
+  auto* offs = static_cast<int64_t*>(malloc(sizeof(int64_t) * (n_docs + 1)));
+  auto* data = static_cast<uint8_t*>(malloc(size_t(std::max<int64_t>(total, 1))));
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_docs; ++i) {
+    offs[i] = pos;
+    std::memcpy(data + pos, results[size_t(i)].data(), results[size_t(i)].size());
+    pos += int64_t(results[size_t(i)].size());
+  }
+  offs[n_docs] = pos;
+  *out_bytes = data;
+  *out_offsets = offs;
+  return 0;
+}
+
+// Split + dedup + seed for the device path (byte-encoder fast mode).
+// For each document, words are mapped to unique-word indices; unique
+// words' seed ids (byte_seed table) are packed into a flat array.
+// Returns number of unique words; -1 if any word needs host fallback
+// handling (caller then uses ht_encode_batch for those).
+int64_t ht_split_dedup(Engine* e, const uint8_t* text,
+                       const int64_t* doc_offsets, int64_t n_docs,
+                       const int32_t* byte_seed /*256*/,
+                       int32_t** out_word_ref,    // per doc-word: unique idx
+                       int64_t** out_doc_word_offsets,  // n_docs+1
+                       int32_t** out_seed_ids,    // flat unique seeds
+                       int64_t** out_seed_offsets,  // n_unique+1
+                       uint8_t* out_flags)          // [n_unique] cap-checked by caller
+{
+  (void)out_flags;
+  struct USlot { uint64_t hash; int64_t off; int32_t len; int32_t idx; };
+  size_t cap = 1 << 12;
+  std::vector<USlot> slots(cap, USlot{0, -1, 0, 0});
+  uint64_t mask = cap - 1;
+  size_t count = 0;
+  std::vector<std::pair<int64_t, int32_t>> uniq;  // (abs offset, len)
+
+  std::vector<int32_t> word_ref;
+  std::vector<int64_t> dwo(1, 0);
+  std::vector<std::pair<int64_t, int64_t>> words;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const uint8_t* doc = text + doc_offsets[d];
+    size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
+    words.clear();
+    split_words(doc, dn, words);
+    for (auto& [s, epos] : words) {
+      int64_t abs_off = doc_offsets[d] + s;
+      int32_t len = int32_t(epos - s);
+      if (len == 0) continue;
+      uint64_t h = hash_bytes(text + abs_off, size_t(len));
+      size_t i = h & mask;
+      int32_t found = -1;
+      while (slots[i].off >= 0) {
+        if (slots[i].hash == h && slots[i].len == len &&
+            std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) ==
+                0) {
+          found = slots[i].idx;
+          break;
+        }
+        i = (i + 1) & mask;
+      }
+      if (found < 0) {
+        found = int32_t(count);
+        slots[i] = USlot{h, abs_off, len, found};
+        uniq.emplace_back(abs_off, len);
+        ++count;
+        if (count * 2 >= cap) {
+          // grow
+          size_t ncap = cap << 1;
+          std::vector<USlot> ns(ncap, USlot{0, -1, 0, 0});
+          uint64_t nm = ncap - 1;
+          for (auto& sl : slots) {
+            if (sl.off < 0) continue;
+            size_t j = sl.hash & nm;
+            while (ns[j].off >= 0) j = (j + 1) & nm;
+            ns[j] = sl;
+          }
+          slots.swap(ns);
+          cap = ncap;
+          mask = nm;
+        }
+      }
+      word_ref.push_back(found);
+    }
+    dwo.push_back(int64_t(word_ref.size()));
+  }
+
+  // pack seeds (byte mode: seed id per byte)
+  std::vector<int32_t> seeds;
+  std::vector<int64_t> soff(1, 0);
+  for (auto& [off, len] : uniq) {
+    for (int32_t k = 0; k < len; ++k)
+      seeds.push_back(byte_seed[text[off + k]]);
+    soff.push_back(int64_t(seeds.size()));
+  }
+
+  auto copy_i32 = [](const std::vector<int32_t>& v) {
+    auto* p = static_cast<int32_t*>(malloc(sizeof(int32_t) * std::max<size_t>(v.size(), 1)));
+    std::memcpy(p, v.data(), v.size() * sizeof(int32_t));
+    return p;
+  };
+  auto copy_i64 = [](const std::vector<int64_t>& v) {
+    auto* p = static_cast<int64_t*>(malloc(sizeof(int64_t) * std::max<size_t>(v.size(), 1)));
+    std::memcpy(p, v.data(), v.size() * sizeof(int64_t));
+    return p;
+  };
+  *out_word_ref = copy_i32(word_ref);
+  *out_doc_word_offsets = copy_i64(dwo);
+  *out_seed_ids = copy_i32(seeds);
+  *out_seed_offsets = copy_i64(soff);
+  return int64_t(count);
+}
+
+void ht_free_i32(int32_t* p) { free(p); }
+void ht_free_i64(int64_t* p) { free(p); }
+void ht_free_u8(uint8_t* p) { free(p); }
+
+}  // extern "C"

@@ -1,0 +1,139 @@
+"""Multi-device (8 virtual CPU devices) sharding tests."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+
+    from hutoken_tpu.parallel.mesh import data_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return data_mesh(8)
+
+
+def test_sharded_merge_matches_single_device(mesh):
+    import jax.numpy as jnp
+
+    import fixture_tools as ft
+    from hutoken_tpu.context import TokenizerContext
+    from hutoken_tpu.engine import TpuTokenizer
+    from hutoken_tpu.ops.merge import merge_words
+    from hutoken_tpu.parallel.sharded import sharded_merge_words
+
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    eng = TpuTokenizer(ctx)
+    rng = np.random.RandomState(0)
+    block = rng.randint(0, 256, size=(64, 16)).astype(np.int32)
+    single = np.asarray(merge_words(eng.table_arrays, jnp.asarray(block)))
+    sharded = np.asarray(
+        sharded_merge_words(eng.table_arrays, mesh, jnp.asarray(block))
+    )
+    assert np.array_equal(single, sharded)
+
+
+def _simulate_distributed_bbpe(corpus: bytes, vocab_size: int, n_shards: int):
+    """Numpy reference of the distributed trainer's exact semantics:
+    per-shard counting with hole-tails, summed histograms, lowest-key
+    argmax tie-break, per-shard left-to-right merge + stable compaction."""
+    from hutoken_tpu.train.common import left_to_right_merge_mask
+
+    K = vocab_size
+    str2id = {}
+    id2str = {}
+    for i in range(256):
+        key = b"" if i == 0 else bytes([i])
+        str2id[key] = i
+        id2str[i] = key
+    count = 256
+
+    ids = np.frombuffer(corpus, dtype=np.uint8).astype(np.int64)
+    pad = (-len(ids)) % n_shards
+    if pad:
+        ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
+    shards = [s.copy() for s in np.split(ids, n_shards)]
+
+    prev_pair = None
+    while count < vocab_size:
+        hist = np.zeros(K * K, dtype=np.int64)
+        for s in shards:
+            a, b = s[:-1], s[1:]
+            valid = (a >= 0) & (b >= 0)
+            np.add.at(hist, (a * K + b)[valid], 1)
+        key = int(hist.argmax())  # lowest key among ties
+        cnt = int(hist[key])
+        if cnt <= 1:
+            break
+        id1, id2 = key // K, key % K
+        new_id = count
+        merged = id2str.get(id1, b"") + id2str.get(id2, b"")
+        if merged not in str2id:
+            count += 1
+        str2id[merged] = new_id
+        id2str[new_id] = merged
+        for i, s in enumerate(shards):
+            match = (s[:-1] == id1) & (s[1:] == id2)
+            take = left_to_right_merge_mask(match)
+            tk = np.flatnonzero(take)
+            s[tk] = new_id
+            consumed = np.zeros(len(s), dtype=bool)
+            consumed[tk + 1] = True
+            kept = s[~consumed]
+            shards[i] = np.concatenate(
+                [kept, np.full(len(s) - len(kept), -1, np.int64)]
+            )
+        if prev_pair == (id1, id2):
+            break
+        prev_pair = (id1, id2)
+    return str2id
+
+
+def test_distributed_bbpe_matches_simulator(mesh):
+    """Device distributed training (histogram + psum + argmax + masked
+    merge + sorted compaction) must match the numpy reference of the same
+    semantics exactly."""
+    from hutoken_tpu.parallel.train import distributed_bbpe_train
+
+    corpus = (b"the cat sat on the mat " * 32)
+    want = _simulate_distributed_bbpe(corpus, 280, 8)
+    dist = distributed_bbpe_train(corpus, 280, mesh=mesh, verbose=False)
+    assert dist == want
+
+
+def test_distributed_bbpe_close_to_host(mesh):
+    """On tie-free corpora the distributed result tracks the host trainer
+    closely (boundary pairs and tie-break policy are the only sources of
+    divergence; on this corpus > 90% of tokens coincide)."""
+    from hutoken_tpu.parallel.train import distributed_bbpe_train
+    from hutoken_tpu.train.bbpe import bbpe_train_core
+
+    corpus = (b"the cat sat on the mat " * 32)
+    host = set(bbpe_train_core(corpus, 280, verbose=False))
+    dist = set(distributed_bbpe_train(corpus, 280, mesh=mesh, verbose=False))
+    overlap = len(host & dist) / max(len(host), 1)
+    assert overlap > 0.9, f"only {overlap:.2%} token overlap"
+
+
+def test_distributed_bpe_id_quirk(mesh):
+    from hutoken_tpu.parallel.train import distributed_bpe_train
+
+    corpus = b"abababab " * 20
+    s2i = distributed_bpe_train(corpus, 260, mesh=mesh, verbose=False)
+    ids = set(s2i.values())
+    assert 256 not in ids  # count+1 quirk preserved (src/bpe.c:171)
+    assert b"ab" in s2i
+
+
+def test_graft_entry_single_and_multichip():
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256, 16)
+    ge.dryrun_multichip(8)

@@ -77,8 +77,9 @@ def main() -> None:
     docs = build_corpus(args.mb)
     total_bytes = sum(len(d.encode()) for d in docs)
 
-    # warmup: compile all bucket shapes
-    engine.encode_batch(docs[: min(len(docs), 64)])
+    # warmup: one full prepass compiles exactly the shapes this corpus
+    # needs (the tunneled compiler is slow, so avoid unused shapes)
+    engine.encode_batch(docs)
     engine._word_cache.clear()
 
     t0 = time.perf_counter()

@@ -48,9 +48,11 @@ _DECODE_UNINIT_MSG = (
 
 
 def _reset() -> None:
-    global _ctx, _engine
+    global _ctx, _engine, _native, _native_failed
     _ctx = None
     _engine = None
+    _native = None
+    _native_failed = False
 
 
 def initialize(model_or_path: str, *args: Any, **kwargs: Any):
@@ -130,6 +132,24 @@ def _get_engine():
     return _engine
 
 
+_native = None
+_native_failed = False
+
+
+def _get_native():
+    """Build (lazily) the native C++ host engine; None if unavailable."""
+    global _native, _native_failed
+    if _native is None and not _native_failed:
+        try:
+            from .native import NativeEngine
+
+            _native = NativeEngine(_ctx)
+        except Exception as e:
+            log_debug("native host engine unavailable: %s", e)
+            _native_failed = True
+    return _native
+
+
 def _use_device(batch: bool) -> bool:
     if _backend == "host":
         return False
@@ -154,6 +174,9 @@ def encode(text: str) -> list[int]:
     try:
         if _use_device(batch=False):
             return _get_engine().encode_batch([text])[0]
+        native = _get_native()
+        if native is not None and native.supports_pattern:
+            return native.encode_batch([text], 1)[0]
         return oracle.encode(_ctx, text)
     except Exception as e:
         traceback.print_exc(file=sys.stderr)
@@ -172,6 +195,9 @@ def batch_encode(texts: list[str], num_threads: int = 1) -> list[list[int]]:
     try:
         if _use_device(batch=True):
             return _get_engine().encode_batch(texts)
+        native = _get_native()
+        if native is not None and native.supports_pattern:
+            return native.encode_batch(texts, num_threads)
         return [oracle.encode(_ctx, t) for t in texts]
     except Exception as e:
         traceback.print_exc(file=sys.stderr)
@@ -185,6 +211,9 @@ def decode(tokens: list[int]) -> str:
     try:
         if _use_device(batch=False):
             return _get_engine().decode_batch([list(tokens)])[0]
+        native = _get_native()
+        if native is not None:
+            return native.decode_batch([list(tokens)], 1)[0]
         return oracle.decode(_ctx, list(tokens))
     except ValueError as e:
         traceback.print_exc(file=sys.stderr)
@@ -201,6 +230,9 @@ def batch_decode(tokens: list[list[int]], num_threads: int = 1) -> list[str]:
     try:
         if _use_device(batch=True):
             return _get_engine().decode_batch([list(t) for t in tokens])
+        native = _get_native()
+        if native is not None:
+            return native.decode_batch([list(t) for t in tokens], num_threads)
         return [oracle.decode(_ctx, list(t)) for t in tokens]
     except Exception as e:
         traceback.print_exc(file=sys.stderr)

@@ -38,13 +38,12 @@ from .pretokenize import encode_remap, split_words, split_words_pattern
 from .tables import EncoderTables, build_encoder_tables
 from .utils.logging import log_debug
 
-BUCKETS = (16, 32, 64, 128)
+BUCKETS = (8, 16, 32, 64, 128)
 MAX_DEVICE_LEN = BUCKETS[-1]
 # words per device launch, per bucket width (roughly constant lane count);
 # launches are issued asynchronously and synced once, so per-dispatch
 # latency (≈25 ms on tunneled devices) amortizes across the batch
-CHUNK_ROWS = {16: 65536, 32: 32768, 64: 16384, 128: 8192}
-SMALL_CHUNK_ROWS = {16: 2048, 32: 1024, 64: 512, 128: 256}
+CHUNK_ROWS = {8: 131072, 16: 65536, 32: 32768, 64: 16384, 128: 8192}
 
 
 def _enable_compilation_cache() -> None:
@@ -98,8 +97,26 @@ class TpuTokenizer:
         )
         # per-word tokenization cache (exactness-preserving; the reference
         # recomputes every time, caching is a pure speedup)
-        self._word_cache: dict[bytes, list[int]] = {}
+        self._word_cache: dict[bytes, np.ndarray] = {}
         self._prefix_run: Optional[list[int]] = None
+        # byte-mode fast-path support arrays
+        self._u16_out = self.tables.vocab_size < 0xFFFF
+        if self.tables.byte_seed_ids is not None:
+            self._byte_seed_dev = jnp.asarray(self.tables.byte_seed_ids)
+            # single-byte words bypass the device entirely
+            self._single_byte_ids = [
+                np.array([int(self.tables.byte_seed_ids[b])], dtype=np.int32)
+                for b in range(256)
+            ]
+        else:
+            self._byte_seed_dev = None
+            self._single_byte_ids = None
+        try:
+            from .native import load_native
+
+            self._native_split_ok = load_native() is not None
+        except Exception:
+            self._native_split_ok = False
         self._build_decode_fast_path()
 
     # ------------------------------------------------------------- encode
@@ -152,21 +169,19 @@ class TpuTokenizer:
     def _encode_word_host(self, word: bytes, prefix: Optional[bytes]) -> list[int]:
         return oracle.encode_word(self.ctx, word, prefix)
 
-    def encode_batch(self, texts: list[str]) -> list[list[int]]:
-        for t in texts:
-            if "\x00" in t:
-                raise ValueError("embedded null character")
-
-        # 1-2: split + dedup
-        doc_words: list[list[tuple[bytes, bool]]] = []  # (word, glued)
-        doc_prefix_run: list[bool] = []
+    def _split_dedup_py(self, texts: list[str]):
+        """Pure-Python split + dedup (handles prefix gluing and custom
+        regex patterns; the native path covers the common fast case)."""
         unique: dict[tuple[bytes, bool], int] = {}
         uword_list: list[tuple[bytes, bool]] = []
+        all_refs: list[int] = []
+        doc_ref_counts: list[int] = []
+        doc_prefix_run: list[bool] = []
         for text in texts:
             words = self._split(text)
             add_prefix = not text.startswith(" ")
             wants_prefix_run = (not add_prefix) and self.ctx.prefix is not None
-            entry: list[tuple[bytes, bool]] = []
+            n_before = len(all_refs)
             first_real = True
             for w in words:
                 wb = w.encode("utf-8")
@@ -175,79 +190,258 @@ class TpuTokenizer:
                 glued = first_real and add_prefix and self.ctx.prefix is not None
                 first_real = False
                 key = (wb, glued)
-                if key not in unique:
-                    unique[key] = len(uword_list)
+                ref = unique.get(key)
+                if ref is None:
+                    ref = len(uword_list)
+                    unique[key] = ref
                     uword_list.append(key)
-                entry.append(key)
-            doc_words.append(entry)
-            doc_prefix_run.append(wants_prefix_run and len(entry) > 0)
+                all_refs.append(ref)
+            n_words = len(all_refs) - n_before
+            doc_ref_counts.append(n_words)
+            doc_prefix_run.append(wants_prefix_run and n_words > 0)
+        return uword_list, all_refs, doc_ref_counts, doc_prefix_run
 
-        # 3: seed + bucket unique words
-        results: list[Optional[list[int]]] = [None] * len(uword_list)
-        buckets: dict[int, list[tuple[int, np.ndarray]]] = {b: [] for b in BUCKETS}
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        import os
+        import time as _time
+
+        timing = os.environ.get("HUTOKEN_TPU_TIMING") == "1"
+        t_start = _time.perf_counter()
+
+        for t in texts:
+            if "\x00" in t:
+                raise ValueError("embedded null character")
+
+        # 1-2: split + dedup.  Per-document state is kept as flat arrays
+        # of unique-word references so assembly is vectorized.  The C++
+        # runtime does this phase at native speed when the configuration
+        # allows (default parser, no prefix gluing to track).
+        if (
+            self.ctx.compiled_pattern is None
+            and self.ctx.prefix is None
+            and self._native_split_ok
+        ):
+            from .native import split_dedup_slices
+
+            blobs = [t.encode("utf-8") for t in texts]
+            doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
+            np.cumsum([len(b) for b in blobs], out=doc_off[1:])
+            blob = b"".join(blobs)
+            blob_np = (
+                np.frombuffer(blob, dtype=np.uint8)
+                if blob
+                else np.zeros(1, np.uint8)
+            )
+            native = split_dedup_slices(blob_np, doc_off)
+        else:
+            native = None
+
+        if native is not None:
+            wr_np, dwo_np, uo_np, ul_np = native
+            uword_list = [
+                (blob[int(o) : int(o) + int(l)], False)
+                for o, l in zip(uo_np, ul_np)
+            ]
+            all_refs = wr_np
+            doc_ref_counts = np.diff(dwo_np).tolist()
+            doc_prefix_run = [False] * len(texts)
+        else:
+            uword_list, all_refs, doc_ref_counts, doc_prefix_run = (
+                self._split_dedup_py(texts)
+            )
+        if timing:
+            print(f"[ht-timing] split+dedup: {_time.perf_counter()-t_start:.3f}s")
+            t_start = _time.perf_counter()
+
+        # 3: resolve unique words: cache -> byte fast path -> generic
+        # device path -> host fallback
+        n_uniq = len(uword_list)
+        results: list[Optional[np.ndarray]] = [None] * n_uniq
+        byte_buckets: dict[int, list[int]] = {b: [] for b in BUCKETS}
+        id_buckets: dict[int, list[tuple[int, np.ndarray]]] = {b: [] for b in BUCKETS}
+        byte_fast = (
+            self.tables.is_byte_encoder and self.tables.byte_seed_ids is not None
+        )
         for idx, (wb, glued) in enumerate(uword_list):
             cached = self._word_cache.get(wb) if not glued else None
             if cached is not None:
                 results[idx] = cached
                 continue
+            if byte_fast and not glued:
+                n = len(wb)
+                if n == 1:
+                    results[idx] = self._single_byte_ids[wb[0]]
+                    continue
+                if n <= MAX_DEVICE_LEN:
+                    for b in BUCKETS:
+                        if n <= b:
+                            byte_buckets[b].append(idx)
+                            break
+                    continue
+                results[idx] = np.asarray(
+                    self._encode_word_host(wb, None), dtype=np.int32
+                )
+                continue
             seeds = self._seed_word(wb, glued)
             if seeds is None or seeds.shape[0] > MAX_DEVICE_LEN:
-                results[idx] = self._encode_word_host(
-                    wb, self.ctx.prefix if glued else None
+                results[idx] = np.asarray(
+                    self._encode_word_host(wb, self.ctx.prefix if glued else None),
+                    dtype=np.int32,
                 )
                 continue
             if seeds.shape[0] <= 1:
-                results[idx] = [int(x) for x in seeds]
+                results[idx] = seeds.astype(np.int32)
                 continue
             for b in BUCKETS:
                 if seeds.shape[0] <= b:
-                    buckets[b].append((idx, seeds))
+                    id_buckets[b].append((idx, seeds))
                     break
 
-        # 4: device merge per bucket — issue every chunk asynchronously,
-        # then sync once (hides per-dispatch latency)
-        pending: list[tuple[object, list[tuple[int, np.ndarray]]]] = []
-        for b, items in buckets.items():
+        # 4: device merges — all chunks issued asynchronously, one sync
+        pending: list[tuple[object, object]] = []
+        for b, idxs in byte_buckets.items():
+            if not idxs:
+                continue
+            lens = np.array([len(uword_list[i][0]) for i in idxs], dtype=np.int32)
+            blob = b"".join(uword_list[i][0] for i in idxs)
+            flat = np.frombuffer(blob, dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            rows = CHUNK_ROWS[b]
+            lo = 0
+            while lo < len(idxs):
+                hi = min(lo + rows, len(idxs))
+                k = hi - lo
+                raw = np.zeros((rows, b), dtype=np.uint8)
+                cl = lens[lo:hi]
+                cs = starts[lo:hi]
+                # vectorized ragged pack: scatter all word bytes at once
+                pos_in_word = np.arange(int(cl.sum())) - np.repeat(
+                    np.cumsum(cl) - cl, cl
+                )
+                rows_idx = np.repeat(np.arange(k), cl)
+                raw[rows_idx, pos_in_word] = flat[
+                    np.repeat(cs, cl) + pos_in_word
+                ]
+                lens_pad = np.zeros(rows, dtype=np.int32)
+                lens_pad[:k] = cl
+                handle = self._merge_bytes_block(raw, lens_pad)
+                pending.append((handle, ("bytes", idxs[lo:hi])))
+                lo = hi
+        for b, items in id_buckets.items():
             if not items:
                 continue
-            rows_big = CHUNK_ROWS[b]
-            rows_small = SMALL_CHUNK_ROWS[b]
+            rows = CHUNK_ROWS[b]
             lo = 0
             while lo < len(items):
-                remaining = len(items) - lo
-                rows = rows_big if remaining > rows_small else rows_small
                 chunk = items[lo : lo + rows]
                 lo += rows
                 block = np.full((rows, b), -1, dtype=np.int32)
                 for r, (_, seeds) in enumerate(chunk):
                     block[r, : seeds.shape[0]] = seeds
-                pending.append((self._merge_block(block), chunk))
-        for handle, chunk in pending:
+                pending.append((self._merge_block(block), ("ids", chunk)))
+
+        for handle, (kind, meta) in pending:
             out = np.asarray(handle)
-            for r, (idx, _) in enumerate(chunk):
-                row = out[r]
-                results[idx] = [int(x) for x in row[row != -1]]
+            if kind == "bytes":
+                idxs = meta
+                k = len(idxs)
+                sub = out[:k].astype(np.int32)
+                mask = sub != (0xFFFF if self._u16_out else -1)
+                counts = mask.sum(axis=1)
+                toks = sub[mask]
+                offs = np.concatenate(([0], np.cumsum(counts)))
+                for r, idx in enumerate(idxs):
+                    results[idx] = toks[offs[r] : offs[r + 1]]
+            else:
+                chunk = meta
+                mask = out != -1
+                counts = mask.sum(axis=1)
+                toks = out[mask]
+                offs = np.concatenate(([0], np.cumsum(counts)))
+                for r, (idx, _) in enumerate(chunk):
+                    results[idx] = toks[offs[r] : offs[r + 1]]
+
+        if timing:
+            print(f"[ht-timing] device+extract: {_time.perf_counter()-t_start:.3f}s")
+            t_start = _time.perf_counter()
 
         # update cache
         for idx, (wb, glued) in enumerate(uword_list):
             if not glued and wb not in self._word_cache:
                 self._word_cache[wb] = results[idx]
 
-        # 5: reassemble
+        # 5: vectorized assembly: flat unique-token pool + per-doc ranges
+        ulens = np.array([r.shape[0] for r in results], dtype=np.int64)
+        uoffs = np.concatenate(([0], np.cumsum(ulens)))
+        upool = (
+            np.concatenate(results) if n_uniq else np.zeros(0, dtype=np.int32)
+        )
+        refs = np.asarray(all_refs, dtype=np.int64)
+        rl = ulens[refs] if refs.size else np.zeros(0, dtype=np.int64)
+        rs = uoffs[refs] if refs.size else np.zeros(0, dtype=np.int64)
+        total = int(rl.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(rl) - rl, rl
+        )
+        flat_tokens = upool[np.repeat(rs, rl) + within] if total else upool[:0]
+        # per-doc token counts
+        doc_tok_counts = []
+        p = 0
+        for c in doc_ref_counts:
+            doc_tok_counts.append(int(rl[p : p + c].sum()))
+            p += c
+        doc_offs = np.concatenate(([0], np.cumsum(doc_tok_counts)))
+
+        if timing:
+            print(f"[ht-timing] cache+assembly: {_time.perf_counter()-t_start:.3f}s")
+            t_start = _time.perf_counter()
+
+        prefix_run = None
         out_docs: list[list[int]] = []
-        for entry, wants_run in zip(doc_words, doc_prefix_run):
-            toks: list[int] = []
-            if wants_run:
-                toks.extend(self._prefix_token_run())
-            for key in entry:
-                toks.extend(results[unique[key]])
+        for i in range(len(texts)):
+            toks = flat_tokens[doc_offs[i] : doc_offs[i + 1]].tolist()
+            if doc_prefix_run[i]:
+                if prefix_run is None:
+                    prefix_run = self._prefix_token_run()
+                toks = list(prefix_run) + toks
             out_docs.append(toks)
+        if timing:
+            print(f"[ht-timing] tolist: {_time.perf_counter()-t_start:.3f}s")
         return out_docs
+
+    def warmup(self) -> None:
+        """Compile the standard block shapes (one per bucket; compiles are
+        expensive on remote/tunneled compilers, so the shape set is kept
+        minimal — small batches reuse the same shapes with padding)."""
+        handles = []
+        for b in BUCKETS:
+            rows = CHUNK_ROWS[b]
+            if self._byte_seed_dev is not None:
+                raw = np.zeros((rows, b), dtype=np.uint8)
+                lens = np.zeros(rows, dtype=np.int32)
+                handles.append(self._merge_bytes_block(raw, lens))
+            else:
+                handles.append(
+                    self._merge_block(np.full((rows, b), -1, dtype=np.int32))
+                )
+        for h in handles:
+            h.block_until_ready()
 
     def _merge_block(self, block: np.ndarray):
         from .ops.merge import merge_words
 
         return merge_words(self.table_arrays, self._jnp.asarray(block))
+
+    def _merge_bytes_block(self, raw: np.ndarray, lens: np.ndarray):
+        from .ops.merge import merge_words_from_bytes
+
+        return merge_words_from_bytes(
+            self.table_arrays,
+            self._byte_seed_dev,
+            self._jnp.asarray(raw),
+            self._jnp.asarray(lens),
+            self._u16_out,
+        )
 
     # ------------------------------------------------------------- decode
 
@@ -286,7 +480,9 @@ class TpuTokenizer:
             if self._decode_fast:
                 out.append(self._reverse_remap_np(raw).decode("utf-8"))
             else:
-                out.append(oracle.reverse_remap(self.ctx, raw).decode("utf-8"))
+                out.append(
+                    oracle.reverse_remap_nostrip(self.ctx, raw).decode("utf-8")
+                )
         return out
 
     def _reverse_remap_np(self, raw: bytes) -> bytes:

@@ -87,11 +87,48 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, _i32p, _i64p, ctypes.c_int64, ctypes.c_int,
         ctypes.POINTER(_u8p), ctypes.POINTER(_i64p),
     ]
+    lib.ht_split_dedup_slices.restype = ctypes.c_int64
+    lib.ht_split_dedup_slices.argtypes = [
+        _u8p, _i64p, ctypes.c_int64,
+        ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
+        ctypes.POINTER(_i64p), ctypes.POINTER(_i32p),
+    ]
     lib.ht_free_i32.argtypes = [_i32p]
     lib.ht_free_i64.argtypes = [_i64p]
     lib.ht_free_u8.argtypes = [_u8p]
     _lib = lib
     return _lib
+
+
+def split_dedup_slices(blob: np.ndarray, doc_offsets: np.ndarray):
+    """Native parser split + word dedup over a document blob.
+
+    Returns (word_refs int32 [total_words], doc_word_offsets int64
+    [n_docs+1], uniq_offsets int64 [n_uniq], uniq_lens int32 [n_uniq]) or
+    None when the native library is unavailable.
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    n_docs = len(doc_offsets) - 1
+    wr = _i32p()
+    dwo = _i64p()
+    uo = _i64p()
+    ul = _i32p()
+    n_uniq = lib.ht_split_dedup_slices(
+        _np_u8p(blob), _np_i64p(doc_offsets), n_docs,
+        ctypes.byref(wr), ctypes.byref(dwo), ctypes.byref(uo), ctypes.byref(ul),
+    )
+    dwo_np = np.ctypeslib.as_array(dwo, shape=(n_docs + 1,)).copy()
+    total_words = int(dwo_np[-1])
+    wr_np = np.ctypeslib.as_array(wr, shape=(max(total_words, 1),))[:total_words].copy()
+    uo_np = np.ctypeslib.as_array(uo, shape=(max(n_uniq, 1),))[:n_uniq].copy()
+    ul_np = np.ctypeslib.as_array(ul, shape=(max(n_uniq, 1),))[:n_uniq].copy()
+    lib.ht_free_i32(wr)
+    lib.ht_free_i64(dwo)
+    lib.ht_free_i64(uo)
+    lib.ht_free_i32(ul)
+    return wr_np, dwo_np, uo_np, ul_np
 
 
 def _np_i64p(a: np.ndarray):

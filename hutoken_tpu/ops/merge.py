@@ -80,10 +80,8 @@ def probe_pairs(table, a: jnp.ndarray, b: jnp.ndarray):
     h = h ^ (h >> jnp.uint32(15))
     h = (h & jnp.uint32(cap_mask)).astype(jnp.int32)
 
-    rank = jnp.full(a.shape, INF_RANK, dtype=jnp.int32)
-    merged = jnp.full(a.shape, -1, dtype=jnp.int32)
-    found = jnp.zeros(a.shape, dtype=bool)
-    for i in range(probe_len):
+    def body(i, state):
+        rank, merged, found = state
         slot = (h + i) & cap_mask
         hit = (
             (~found)
@@ -92,7 +90,18 @@ def probe_pairs(table, a: jnp.ndarray, b: jnp.ndarray):
         )
         rank = jnp.where(hit, fast_gather(t_rank, slot), rank)
         merged = jnp.where(hit, fast_gather(t_merged, slot), merged)
-        found = found | hit
+        return rank, merged, found | hit
+
+    rank, merged, _found = jax.lax.fori_loop(
+        0,
+        probe_len,
+        body,
+        (
+            jnp.full(a.shape, INF_RANK, dtype=jnp.int32),
+            jnp.full(a.shape, -1, dtype=jnp.int32),
+            jnp.zeros(a.shape, dtype=bool),
+        ),
+    )
     valid = (a >= 0) & (b >= 0)
     rank = jnp.where(valid, rank, INF_RANK)
     merged = jnp.where(valid, merged, -1)
@@ -154,7 +163,8 @@ def _probe_pairs_onehot(table, a, b):
             + (v2.astype(jnp.int32) << 16)
         )
 
-    for i in range(probe_len):
+    def body(i, state):
+        rank, merged, found = state
         slot = (h + i) & cap_mask
         oh = jax.nn.one_hot(slot, C, dtype=jnp.float32)  # fused by XLA
         vals = jax.lax.dot_general(
@@ -173,7 +183,11 @@ def _probe_pairs_onehot(table, a, b):
         merged = jnp.where(
             hit, recombine(vals[:, 9], vals[:, 10], vals[:, 11]), merged
         )
-        found = found | hit
+        return rank, merged, found | hit
+
+    rank, merged, found = jax.lax.fori_loop(
+        0, probe_len, body, (rank, merged, found)
+    )
     valid = (af >= 0) & (bf >= 0)
     rank = jnp.where(valid, rank, INF_RANK)
     merged = jnp.where(valid, merged, -1)
@@ -271,4 +285,48 @@ def merge_words(table_arrays, ids: jnp.ndarray) -> jnp.ndarray:
     return _merge_fixed_point(
         t_left, t_right, t_rank, t_merged, ids,
         probe_len=probe_len, cap_mask=cap_mask, use_onehot=use_onehot,
+    )
+
+
+def _seed_from_bytes(byte_seed, raw: jnp.ndarray, lens: jnp.ndarray):
+    """uint8 word bytes [W, L] + lens [W] -> seed ids int32 (PAD = -1).
+
+    The byte -> initial-id composition (reference: src/pretokenizer.c:56-73
+    + per-char vocab lookup) runs on device so the host ships 1 byte per
+    input byte instead of 4-byte id lanes.
+    """
+    W, L = raw.shape
+    ids = fast_gather(byte_seed, raw.astype(jnp.int32))
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
+    return jnp.where(col < lens[:, None], ids, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("probe_len", "cap_mask", "use_onehot", "u16_out"),
+)
+def _merge_bytes_fixed_point(
+    t_left, t_right, t_rank, t_merged, byte_seed, raw, lens,
+    probe_len, cap_mask, use_onehot, u16_out,
+):
+    ids = _seed_from_bytes(byte_seed, raw, lens)
+    out = _merge_fixed_point.__wrapped__(
+        t_left, t_right, t_rank, t_merged, ids, probe_len, cap_mask, use_onehot
+    )
+    if u16_out:
+        # 0xFFFF marks PAD; requires vocab ids < 65535 (checked host-side)
+        return jnp.where(out < 0, 0xFFFF, out).astype(jnp.uint16)
+    return out
+
+
+def merge_words_from_bytes(
+    table_arrays, byte_seed, raw: jnp.ndarray, lens: jnp.ndarray, u16_out: bool
+):
+    """Byte-mode fast path: uint8 in, uint16 (or int32) out — minimizes
+    host<->device traffic, which dominates on tunneled links."""
+    t_left, t_right, t_rank, t_merged, probe_len, cap_mask, use_onehot = table_arrays
+    return _merge_bytes_fixed_point(
+        t_left, t_right, t_rank, t_merged, byte_seed, raw, lens,
+        probe_len=probe_len, cap_mask=cap_mask, use_onehot=use_onehot,
+        u16_out=u16_out,
     )

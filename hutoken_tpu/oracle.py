@@ -199,7 +199,11 @@ def reverse_remap(ctx: TokenizerContext, raw: bytes) -> bytes:
     codepoint-as-byte (or '?'), in char mode they are copied."""
     if ctx.prefix and raw.startswith(ctx.prefix):
         raw = raw[len(ctx.prefix) :]
+    return reverse_remap_nostrip(ctx, raw)
 
+
+def reverse_remap_nostrip(ctx: TokenizerContext, raw: bytes) -> bytes:
+    """The replacement-reversal scan alone (no prefix strip)."""
     # longest-match tables: length -> {pattern: original byte}
     by_len: dict[int, dict[bytes, int]] = {}
     for idx, val in ctx.special_chars.items():

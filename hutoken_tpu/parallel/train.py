@@ -49,7 +49,7 @@ def _merge_mask_device(match):
     return match & ((pos_in_run & 1) == 0)
 
 
-def make_train_step(K: int, mesh):
+def make_train_step(K: int, mesh, min_merge_count: int = 2):
     """Build the jitted sharded train step.
 
     State per shard: ``ids`` int32 [n] (PAD = -1 for holes), scanned with
@@ -95,6 +95,18 @@ def make_train_step(K: int, mesh):
         perm = jnp.argsort(new == -1, stable=True)
         return fast_gather(new, perm.astype(jnp.int32))
 
+    def fused(ids, new_id):
+        """count + psum + argmax + conditional merge, one dispatch."""
+        key, cnt = step(ids)
+        id1 = (key // K).astype(jnp.int32)
+        id2 = (key % K).astype(jnp.int32)
+        merged = apply_merge(ids, id1, id2, new_id[0])
+        # byte-level training stops at count <= 1 (src/bbpe.c:83-84) so the
+        # merge must not land then; the string trainer merges any best pair
+        # (min_merge_count=1).  State untouched -> the caller's break is clean.
+        new_ids = jnp.where(cnt >= min_merge_count, merged, ids)
+        return key, cnt, new_ids
+
     count_fn = shard_map(
         step,
         mesh=mesh,
@@ -107,6 +119,13 @@ def make_train_step(K: int, mesh):
         mesh=mesh,
         in_specs=(P("data"), P(), P(), P()),
         out_specs=P("data"),
+    )
+
+    fused_fn = shard_map(
+        fused,
+        mesh=mesh,
+        in_specs=(P("data"), P()),
+        out_specs=(P(), P(), P("data")),
     )
 
     @jax.jit
@@ -123,7 +142,11 @@ def make_train_step(K: int, mesh):
             jnp.asarray([new_id], jnp.int32),
         )
 
-    return train_step, merge_step
+    @jax.jit
+    def fused_step(ids, new_id):
+        return fused_fn(ids, jnp.asarray([new_id], jnp.int32))
+
+    return train_step, merge_step, fused_step
 
 
 def distributed_bbpe_train(
@@ -153,24 +176,24 @@ def distributed_bbpe_train(
     pad = (-len(ids_np)) % n_dev
     if pad:
         ids_np = np.concatenate([ids_np, np.full(pad, -1, np.int32)])
-    train_step, merge_step = make_train_step(K, mesh)
+    _, _, fused_step = make_train_step(K, mesh, min_merge_count=2)
     ids = shard_batch(mesh, jnp.asarray(ids_np))
 
     prev_pair = None
     while count < vocab_size:
-        key, cnt = train_step(ids)
+        new_id = count
+        key, cnt, new_ids = fused_step(ids, new_id)
         key = int(key)
         cnt = int(cnt)
         if cnt <= 1:
             break
+        ids = new_ids
         id1, id2 = key // K, key % K
-        new_id = count
         merged = id2str.get(id1, b"") + id2str.get(id2, b"")
         if merged not in str2id:
             count += 1
         str2id[merged] = new_id
         id2str[new_id] = merged
-        ids = merge_step(ids, id1, id2, new_id)
         if verbose:
             print(f"Most common pair: ({id1}, {id2}), freq: {cnt}")
             print(f"New token id: {new_id}\n")
@@ -213,24 +236,24 @@ def distributed_bpe_train(
     pad = (-len(ids_np)) % n_dev
     if pad:
         ids_np = np.concatenate([ids_np, np.full(pad, -1, np.int32)])
-    train_step, merge_step = make_train_step(K, mesh)
+    _, _, fused_step = make_train_step(K, mesh, min_merge_count=1)
     ids = shard_batch(mesh, jnp.asarray(ids_np))
 
     prev_key: bytes | None = None
     while count < vocab_size:
-        key, cnt = train_step(ids)
+        new_id = count + 1
+        key, cnt, new_ids = fused_step(ids, new_id)
         cnt = int(cnt)
         if cnt < 1:
             break
+        ids = new_ids
         key = int(key)
         id1, id2 = key // K, key % K
-        new_id = count + 1
         merged = id2str.get(id1, b"") + id2str.get(id2, b"")
         if merged not in str2id:
             count += 1
         str2id[merged] = new_id
         id2str[new_id] = merged
-        ids = merge_step(ids, id1, id2, new_id)
         if verbose:
             print(
                 f"Most common pair: '{merged.decode('utf-8', 'replace')}', rank: {cnt}"

@@ -71,8 +71,15 @@ class PairTable:
         return int(self.left.shape[0])
 
 
-def build_pair_table(pairs: dict[tuple[int, int], tuple[int, int]]) -> PairTable:
-    """Insert all pairs with linear probing at load factor <= 0.5."""
+def build_pair_table(
+    pairs: dict[tuple[int, int], tuple[int, int]], max_probe_len: int = 4
+) -> PairTable:
+    """Insert all pairs with linear probing.
+
+    Capacity starts at load factor 0.5 and doubles until the maximum
+    displacement fits ``max_probe_len`` — short unconditional probe
+    chains keep the device graph small and the per-lookup cost flat.
+    """
     n = max(len(pairs), 1)
     cap = 1
     while cap < 2 * n:
@@ -101,6 +108,8 @@ def build_pair_table(pairs: dict[tuple[int, int], tuple[int, int]]) -> PairTable
             rank[h] = r
             merged[h] = m
             max_disp = max(max_disp, disp)
+        if ok and max_disp + 1 > max_probe_len and cap < (1 << 24):
+            ok = False  # too much clustering: grow for shorter probes
         if ok:
             max_val = 0
             for (a, b), (r, m) in pairs.items():

@@ -841,6 +841,92 @@ int64_t ht_split_dedup(Engine* e, const uint8_t* text,
   return int64_t(count);
 }
 
+// Split + dedup only: words of all documents mapped to unique-word
+// indices; unique words returned as (offset,len) slices into the input
+// blob.  Feeds the TPU packing path; no per-word seed computation here.
+int64_t ht_split_dedup_slices(const uint8_t* text, const int64_t* doc_offsets,
+                              int64_t n_docs,
+                              int32_t** out_word_ref,      // per doc-word
+                              int64_t** out_doc_word_offsets,  // n_docs+1
+                              int64_t** out_uniq_offsets,  // [n_uniq]
+                              int32_t** out_uniq_lens) {   // [n_uniq]
+  struct USlot { uint64_t hash; int64_t off; int32_t len; int32_t idx; };
+  size_t cap = 1 << 12;
+  std::vector<USlot> slots(cap, USlot{0, -1, 0, 0});
+  uint64_t mask = cap - 1;
+  size_t count = 0;
+  std::vector<int64_t> uoff;
+  std::vector<int32_t> ulen;
+  std::vector<int32_t> word_ref;
+  std::vector<int64_t> dwo(1, 0);
+  std::vector<std::pair<int64_t, int64_t>> words;
+
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const uint8_t* doc = text + doc_offsets[d];
+    size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
+    words.clear();
+    split_words(doc, dn, words);
+    for (auto& [s, epos] : words) {
+      int64_t abs_off = doc_offsets[d] + s;
+      int32_t len = int32_t(epos - s);
+      if (len == 0) continue;
+      uint64_t h = hash_bytes(text + abs_off, size_t(len));
+      size_t i = h & mask;
+      int32_t found = -1;
+      while (slots[i].off >= 0) {
+        if (slots[i].hash == h && slots[i].len == len &&
+            std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) ==
+                0) {
+          found = slots[i].idx;
+          break;
+        }
+        i = (i + 1) & mask;
+      }
+      if (found < 0) {
+        found = int32_t(count);
+        slots[i] = USlot{h, abs_off, len, found};
+        uoff.push_back(abs_off);
+        ulen.push_back(len);
+        ++count;
+        if (count * 2 >= cap) {
+          size_t ncap = cap << 1;
+          std::vector<USlot> ns(ncap, USlot{0, -1, 0, 0});
+          uint64_t nm = ncap - 1;
+          for (auto& sl : slots) {
+            if (sl.off < 0) continue;
+            size_t j = sl.hash & nm;
+            while (ns[j].off >= 0) j = (j + 1) & nm;
+            ns[j] = sl;
+          }
+          slots.swap(ns);
+          cap = ncap;
+          mask = nm;
+        }
+      }
+      word_ref.push_back(found);
+    }
+    dwo.push_back(int64_t(word_ref.size()));
+  }
+
+  auto copy_i32 = [](const std::vector<int32_t>& v) {
+    auto* p = static_cast<int32_t*>(
+        malloc(sizeof(int32_t) * std::max<size_t>(v.size(), 1)));
+    std::memcpy(p, v.data(), v.size() * sizeof(int32_t));
+    return p;
+  };
+  auto copy_i64 = [](const std::vector<int64_t>& v) {
+    auto* p = static_cast<int64_t*>(
+        malloc(sizeof(int64_t) * std::max<size_t>(v.size(), 1)));
+    std::memcpy(p, v.data(), v.size() * sizeof(int64_t));
+    return p;
+  };
+  *out_word_ref = copy_i32(word_ref);
+  *out_doc_word_offsets = copy_i64(dwo);
+  *out_uniq_offsets = copy_i64(uoff);
+  *out_uniq_lens = copy_i32(ulen);
+  return int64_t(count);
+}
+
 void ht_free_i32(int32_t* p) { free(p); }
 void ht_free_i64(int64_t* p) { free(p); }
 void ht_free_u8(uint8_t* p) { free(p); }

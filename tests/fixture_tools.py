@@ -118,6 +118,44 @@ def write_byte_level_fixture() -> tuple[str, str]:
     return vocab_path, special_path
 
 
+def write_char_mode_fixture() -> tuple[str, str]:
+    """A SentencePiece-style char-mode fixture: '▁' space marker, newline
+    mapped to the literal '<0x0A>' byte-fallback spelling, vocab trained
+    on the remapped corpus (exercises prefix gluing, <0xNN> seeding and
+    multi-char replacement decode)."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    vocab_path = os.path.join(FIXTURE_DIR, "charmode-vocab.txt")
+    special_path = os.path.join(FIXTURE_DIR, "charmode-vocab_special_chars.txt")
+    if os.path.exists(vocab_path) and os.path.exists(special_path):
+        return vocab_path, special_path
+
+    remapped = CORPUS.replace("\r", "<0x0D>").replace("\n", "<0x0A>").replace(
+        "\t", "<0x09>"
+    ).replace(" ", "▁")
+    str2id = bbpe_train_core(remapped.encode("utf-8"), 900, verbose=False)
+    # ensure every single char of the remapped corpus plus the fallback
+    # literals are present (they are, via byte seeds + training), and give
+    # multi-byte chars whole-char tokens by adding them explicitly
+    extra = sorted({c for c in remapped if ord(c) > 127})
+    next_id = max(str2id.values()) + 1
+    for ch in extra + ["<0x0A>", "<0x0D>", "<0x09>"]:
+        b = ch.encode("utf-8")
+        if b not in str2id:
+            str2id[b] = next_id
+            next_id += 1
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        for token, idx in sorted(str2id.items(), key=lambda kv: (kv[1], kv[0])):
+            if not token:
+                f.write(f"0x00 == {idx}\n")
+                continue
+            hex_token = "".join(f"0x{b:02X}" for b in token)
+            f.write(f"{hex_token} == {idx}\n")
+    write_special_chars_file(
+        special_path, {32: "▁", 10: "<0x0A>", 13: "<0x0D>", 9: "<0x09>"}
+    )
+    return vocab_path, special_path
+
+
 def tiktoken_encoding():
     """tiktoken.Encoding over the fixture ranks with a pattern equivalent
     to the reference parser (documented: tests/test_parser.c:10-12)."""

@@ -228,6 +228,9 @@ def batch_decode(tokens: list[list[int]], num_threads: int = 1) -> list[str]:
     if _ctx is None:
         raise RuntimeError(f"hutoken: Error decoding tokens: {_DECODE_UNINIT_MSG}")
     try:
+        if len(tokens) <= 0:
+            # reference: src/lib.c:977-980
+            raise ValueError("No tokens provided.")
         if _use_device(batch=True):
             return _get_engine().decode_batch([list(t) for t in tokens])
         native = _get_native()

@@ -38,12 +38,15 @@ from .pretokenize import encode_remap, split_words, split_words_pattern
 from .tables import EncoderTables, build_encoder_tables
 from .utils.logging import log_debug
 
-BUCKETS = (8, 16, 32, 64, 128)
+# One primary bucket (covers ~99.9% of words) plus a tail bucket that is
+# only compiled if long words actually occur — remote/tunneled XLA
+# compiles cost seconds per shape, so the shape set is minimal.  Rounds
+# track the longest word in a chunk; inactive lanes are cheap.
+BUCKETS = (32, 128)
 MAX_DEVICE_LEN = BUCKETS[-1]
-# words per device launch, per bucket width (roughly constant lane count);
-# launches are issued asynchronously and synced once, so per-dispatch
-# latency (≈25 ms on tunneled devices) amortizes across the batch
-CHUNK_ROWS = {8: 131072, 16: 65536, 32: 32768, 64: 16384, 128: 8192}
+# words per device launch; launches are issued asynchronously and synced
+# once, so per-dispatch latency (≈25 ms on tunneled devices) amortizes
+CHUNK_ROWS = {32: 65536, 128: 8192}
 
 
 def _enable_compilation_cache() -> None:
@@ -410,22 +413,18 @@ class TpuTokenizer:
         return out_docs
 
     def warmup(self) -> None:
-        """Compile the standard block shapes (one per bucket; compiles are
-        expensive on remote/tunneled compilers, so the shape set is kept
-        minimal — small batches reuse the same shapes with padding)."""
-        handles = []
-        for b in BUCKETS:
-            rows = CHUNK_ROWS[b]
-            if self._byte_seed_dev is not None:
-                raw = np.zeros((rows, b), dtype=np.uint8)
-                lens = np.zeros(rows, dtype=np.int32)
-                handles.append(self._merge_bytes_block(raw, lens))
-            else:
-                handles.append(
-                    self._merge_block(np.full((rows, b), -1, dtype=np.int32))
-                )
-        for h in handles:
-            h.block_until_ready()
+        """Compile the primary block shape (the tail bucket compiles
+        lazily only when >32-lane words occur)."""
+        b = BUCKETS[0]
+        rows = CHUNK_ROWS[b]
+        if self._byte_seed_dev is not None:
+            raw = np.zeros((rows, b), dtype=np.uint8)
+            lens = np.zeros(rows, dtype=np.int32)
+            self._merge_bytes_block(raw, lens).block_until_ready()
+        else:
+            self._merge_block(
+                np.full((rows, b), -1, dtype=np.int32)
+            ).block_until_ready()
 
     def _merge_block(self, block: np.ndarray):
         from .ops.merge import merge_words

@@ -149,19 +149,100 @@ def make_train_step(K: int, mesh, min_merge_count: int = 2):
     return train_step, merge_step, fused_step
 
 
-def distributed_bbpe_train(
+def make_scan_train_step(K: int, mesh, min_merge_count: int, scan_steps: int):
+    """K-merge-per-dispatch training step: a lax.scan of the fused step.
+
+    The device assigns ``new_id = start + i`` per scan step (the common
+    case); the host replays the bookkeeping and falls back to single-step
+    mode from the chunk-start state if a duplicate-spelling merge makes
+    that assumption wrong (rare).  Stop conditions are handled by host
+    truncation: freq<=min never applies its merge on device, and the
+    repeat-pair stop ends training so post-stop device state is unused.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    _, _, fused_single = make_train_step(K, mesh, min_merge_count)
+
+    def count_shard(ids):
+        a = ids[:-1]
+        b = ids[1:]
+        valid = (a >= 0) & (b >= 0)
+        keys = jnp.where(valid, a * K + b, 0)
+        return jnp.zeros((K * K,), jnp.int32).at[keys].add(
+            valid.astype(jnp.int32), mode="drop"
+        )
+
+    def apply_merge(ids, id1, id2, new_id):
+        from ..ops.merge import fast_gather
+
+        a = ids[:-1]
+        b = ids[1:]
+        match = (a == id1) & (b == id2)
+        take = _merge_mask_device(match)
+        consumed = jnp.concatenate([jnp.zeros((1,), bool), take])
+        new = jnp.where(
+            jnp.concatenate([take, jnp.zeros((1,), bool)]), new_id, ids
+        )
+        new = jnp.where(consumed, -1, new)
+        perm = jnp.argsort(new == -1, stable=True)
+        return fast_gather(new, perm.astype(jnp.int32))
+
+    def chunk(ids, start_new_id):
+        def body(carry, i):
+            ids = carry
+            hist = jax.lax.psum(count_shard(ids), "data")
+            key = jnp.argmax(hist).astype(jnp.int32)
+            cnt = hist[key].astype(jnp.int32)
+            id1 = key // K
+            id2 = key % K
+            merged = apply_merge(ids, id1, id2, start_new_id[0] + i)
+            ids = jnp.where(cnt >= min_merge_count, merged, ids)
+            return ids, (key, cnt)
+
+        ids, (keys, cnts) = jax.lax.scan(
+            body, ids, jnp.arange(scan_steps, dtype=jnp.int32)
+        )
+        return ids, keys, cnts
+
+    chunk_fn = shard_map(
+        chunk,
+        mesh=mesh,
+        in_specs=(P("data"), P()),
+        out_specs=(P("data"), P(), P()),
+    )
+
+    @jax.jit
+    def scan_step(ids, start_new_id):
+        return chunk_fn(ids, jnp.asarray([start_new_id], jnp.int32))
+
+    return scan_step, fused_single
+
+
+def _distributed_train(
     data: bytes,
     vocab_size: int,
-    *,
     mesh,
-    verbose: bool = True,
+    *,
+    id_offset: int,
+    min_merge_count: int,
+    stop_on_pair: bool,
+    verbose: bool,
+    scan_steps: int = 32,
 ) -> dict[bytes, int]:
-    """Byte-level distributed training (device pair counting + psum)."""
+    """Shared driver: scanned device steps + host bookkeeping replay.
+
+    ``id_offset`` is the reference id-assignment quirk (0 for bbpe,
+    1 for bpe — src/bbpe.c:87 vs src/bpe.c:171); ``stop_on_pair`` selects
+    the repeat-stop key (id pair for bbpe, merged spelling for bpe).
+    """
     import jax.numpy as jnp
 
     from ..parallel.mesh import shard_batch
 
-    K = vocab_size
+    K = vocab_size + id_offset + 1
     str2id: dict[bytes, int] = {}
     id2str: dict[int, bytes] = {}
     for i in range(256):
@@ -172,35 +253,112 @@ def distributed_bbpe_train(
 
     n_dev = mesh.devices.size
     ids_np = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
-    # pad the shard axis with holes so it divides the mesh
     pad = (-len(ids_np)) % n_dev
     if pad:
         ids_np = np.concatenate([ids_np, np.full(pad, -1, np.int32)])
-    _, _, fused_step = make_train_step(K, mesh, min_merge_count=2)
+    scan_step, fused_single = make_scan_train_step(
+        K, mesh, min_merge_count, scan_steps
+    )
     ids = shard_batch(mesh, jnp.asarray(ids_np))
 
-    prev_pair = None
-    while count < vocab_size:
-        new_id = count
-        key, cnt, new_ids = fused_step(ids, new_id)
-        key = int(key)
-        cnt = int(cnt)
-        if cnt <= 1:
-            break
-        ids = new_ids
+    prev_stop_key = None
+
+    def bookkeep(key: int, cnt: int, expected_id: int):
+        """Returns (stop, replacement, stop_key)."""
+        nonlocal count
         id1, id2 = key // K, key % K
         merged = id2str.get(id1, b"") + id2str.get(id2, b"")
-        if merged not in str2id:
+        replacement = merged in str2id
+        if not replacement:
             count += 1
-        str2id[merged] = new_id
-        id2str[new_id] = merged
+        str2id[merged] = expected_id
+        id2str[expected_id] = merged
         if verbose:
             print(f"Most common pair: ({id1}, {id2}), freq: {cnt}")
-            print(f"New token id: {new_id}\n")
-        if prev_pair == (id1, id2):
+            print(f"New token id: {expected_id}\n")
+        stop_key = (id1, id2) if stop_on_pair else merged
+        return replacement, stop_key
+
+    while count < vocab_size:
+        chunk_start_ids = ids
+        chunk_start_count = count
+        chunk_added: list[bytes] = []
+        start_id = count + id_offset
+        new_ids, keys, cnts = scan_step(ids, start_id)
+        keys = np.asarray(keys)
+        cnts = np.asarray(cnts)
+
+        stopped = False
+        diverged_at = -1
+        for i in range(scan_steps):
+            cnt = int(cnts[i])
+            if cnt < min_merge_count:
+                stopped = True
+                break
+            expected_id = count + id_offset
+            if expected_id != start_id + i:
+                # a duplicate-spelling merge desynced device id assignment
+                diverged_at = i
+                break
+            replacement, stop_key = bookkeep(int(keys[i]), cnt, expected_id)
+            if not replacement:
+                chunk_added.append(id2str[expected_id])
+            if prev_stop_key is not None and stop_key == prev_stop_key:
+                stopped = True
+                break
+            prev_stop_key = stop_key
+            if count >= vocab_size:
+                stopped = True
+                break
+        if stopped:
             break
-        prev_pair = (id1, id2)
+        if diverged_at >= 0:
+            # rollback this chunk's bookkeeping and redo it single-step
+            for added in chunk_added:
+                del str2id[added]
+            # (ids overwritten below; id2str stale entries are harmless)
+            count = chunk_start_count
+            prev_stop_key = None  # conservatively recomputed below
+            ids = chunk_start_ids
+            done = False
+            for _ in range(scan_steps):
+                if count >= vocab_size:
+                    done = True
+                    break
+                new_id = count + id_offset
+                key, cnt, stepped = fused_single(ids, new_id)
+                cnt = int(cnt)
+                if cnt < min_merge_count:
+                    done = True
+                    break
+                ids = stepped
+                replacement, stop_key = bookkeep(int(key), cnt, new_id)
+                if prev_stop_key is not None and stop_key == prev_stop_key:
+                    done = True
+                    break
+                prev_stop_key = stop_key
+            if done:
+                break
+            continue
+        ids = new_ids
     return str2id
+
+
+def distributed_bbpe_train(
+    data: bytes,
+    vocab_size: int,
+    *,
+    mesh,
+    verbose: bool = True,
+    scan_steps: int = 32,
+) -> dict[bytes, int]:
+    """Byte-level distributed training (device pair counting + psum,
+    K merges per dispatch)."""
+    return _distributed_train(
+        data, vocab_size, mesh,
+        id_offset=0, min_merge_count=2, stop_on_pair=True,
+        verbose=verbose, scan_steps=scan_steps,
+    )
 
 
 def distributed_bpe_train(
@@ -209,59 +367,18 @@ def distributed_bpe_train(
     *,
     mesh,
     verbose: bool = True,
+    scan_steps: int = 32,
 ) -> dict[bytes, int]:
     """String-keyed distributed training.
 
-    Identical device machinery to the byte-level trainer — pairs are
-    keyed by element ids, and since the corrected (non-strict) string
-    trainer never produces two live elements with the same spelling but
-    different ids, id-keying equals spelling-keying.  The id-assignment
-    quirk (count+1, skipping 256) is preserved (src/bpe.c:171).
+    Identical device machinery to the byte-level trainer — id-keying
+    equals spelling-keying because the corrected trainer never holds two
+    live elements with equal spelling and different ids.  The
+    id-assignment quirk (count+1, skipping 256) is preserved
+    (src/bpe.c:171); repeat-stop compares merged spellings (src/bpe.c:221-224).
     """
-    import jax.numpy as jnp
-
-    from ..parallel.mesh import shard_batch
-
-    K = vocab_size + 2  # ids run to count+1
-    str2id: dict[bytes, int] = {}
-    id2str: dict[int, bytes] = {}
-    for i in range(256):
-        key = b"" if i == 0 else bytes([i])
-        str2id[key] = i
-        id2str[i] = key
-    count = 256
-
-    n_dev = mesh.devices.size
-    ids_np = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
-    pad = (-len(ids_np)) % n_dev
-    if pad:
-        ids_np = np.concatenate([ids_np, np.full(pad, -1, np.int32)])
-    _, _, fused_step = make_train_step(K, mesh, min_merge_count=1)
-    ids = shard_batch(mesh, jnp.asarray(ids_np))
-
-    prev_key: bytes | None = None
-    while count < vocab_size:
-        new_id = count + 1
-        key, cnt, new_ids = fused_step(ids, new_id)
-        cnt = int(cnt)
-        if cnt < 1:
-            break
-        ids = new_ids
-        key = int(key)
-        id1, id2 = key // K, key % K
-        merged = id2str.get(id1, b"") + id2str.get(id2, b"")
-        if merged not in str2id:
-            count += 1
-        str2id[merged] = new_id
-        id2str[new_id] = merged
-        if verbose:
-            print(
-                f"Most common pair: '{merged.decode('utf-8', 'replace')}', rank: {cnt}"
-            )
-            print(
-                f"New token '{merged.decode('utf-8', 'replace')}', value: {new_id}\n"
-            )
-        if prev_key is not None and prev_key == merged:
-            break
-        prev_key = merged
-    return str2id
+    return _distributed_train(
+        data, vocab_size, mesh,
+        id_offset=1, min_merge_count=1, stop_on_pair=False,
+        verbose=verbose, scan_steps=scan_steps,
+    )

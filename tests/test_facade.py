@@ -94,6 +94,13 @@ def test_batch_decode_roundtrip():
     assert hutoken.batch_decode(hutoken.batch_encode(batch, num_threads=8), 8) == batch
 
 
+def test_batch_decode_empty_raises():
+    # reference: src/lib.c:977-980 ("No tokens provided.")
+    _init_fixture(backend="host")
+    with pytest.raises(RuntimeError, match="No tokens provided."):
+        hutoken.batch_decode([])
+
+
 def test_hf_branch_raises_valueerror_offline():
     # no network: the HF import path must fail like the reference facade
     with pytest.raises(ValueError, match="Could not download Hugging Face tokenizer"):

@@ -240,8 +240,7 @@ class NativeEngine:
         self._lib.ht_free_i32(out_toks)
         self._lib.ht_free_i64(out_offs)
         return [
-            [int(x) for x in toks[offs[i] : offs[i + 1]]]
-            for i in range(len(texts))
+            toks[offs[i] : offs[i + 1]].tolist() for i in range(len(texts))
         ]
 
     def decode_batch(self, token_lists: list[list[int]], num_threads: int = 1) -> list[str]:

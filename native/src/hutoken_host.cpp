@@ -474,13 +474,66 @@ struct Engine {
     }
   }
 
+  // Per-thread memoization of word -> token span (pure speedup; words
+  // are Zipf-distributed so batch encodes hit the cache heavily).  Keys
+  // point into the caller's text blob, which outlives the call.
+  struct WordCache {
+    struct Slot {
+      uint64_t hash = 0;
+      const uint8_t* ptr = nullptr;
+      int32_t len = 0;
+      int64_t off = -1;  // into toks; -1 = empty slot
+      int32_t cnt = 0;
+    };
+    std::vector<Slot> slots = std::vector<Slot>(1 << 12);
+    uint64_t mask = (1 << 12) - 1;
+    size_t count = 0;
+    std::vector<int32_t> toks;
+
+    const Slot* find(const uint8_t* p, int32_t len, uint64_t h) const {
+      size_t i = h & mask;
+      while (slots[i].ptr != nullptr) {
+        if (slots[i].hash == h && slots[i].len == len &&
+            std::memcmp(slots[i].ptr, p, size_t(len)) == 0)
+          return &slots[i];
+        i = (i + 1) & mask;
+      }
+      return nullptr;
+    }
+
+    void insert(const uint8_t* p, int32_t len, uint64_t h,
+                const int32_t* t, size_t n) {
+      if ((count + 1) * 2 >= slots.size()) grow();
+      size_t i = h & mask;
+      while (slots[i].ptr != nullptr) i = (i + 1) & mask;
+      slots[i] = Slot{h, p, len, int64_t(toks.size()), int32_t(n)};
+      toks.insert(toks.end(), t, t + n);
+      ++count;
+    }
+
+    void grow() {
+      std::vector<Slot> old;
+      old.swap(slots);
+      slots.assign(old.size() * 2, Slot{});
+      mask = slots.size() - 1;
+      for (auto& s : old) {
+        if (s.ptr == nullptr) continue;
+        size_t i = s.hash & mask;
+        while (slots[i].ptr != nullptr) i = (i + 1) & mask;
+        slots[i] = s;
+      }
+    }
+  };
+
   // full-document encode (prefix state machine: src/core.c:364-366,421-450)
-  void encode_doc(const uint8_t* text, size_t n,
-                  std::vector<int32_t>& out) const {
-    std::vector<std::pair<int64_t, int64_t>> words;
+  void encode_doc(const uint8_t* text, size_t n, std::vector<int32_t>& out,
+                  WordCache* cache = nullptr) const {
+    static thread_local std::vector<std::pair<int64_t, int64_t>> words;
+    words.clear();
     split_words(text, n, words);
     bool add_prefix = n == 0 || text[0] != ' ';
     bool add_prefix_token = !add_prefix;
+    static thread_local std::vector<int32_t> tmp;
     for (auto& [s, e] : words) {
       if (e <= s) continue;
       if (add_prefix_token && !prefix.empty()) {
@@ -491,7 +544,22 @@ struct Engine {
         encode_string_path_per_char(sp, out);
         add_prefix_token = false;
       }
-      encode_word(text + s, size_t(e - s), add_prefix, out);
+      bool glued = add_prefix && !prefix.empty();
+      if (cache != nullptr && !glued) {
+        int32_t len = int32_t(e - s);
+        uint64_t h = hash_bytes(text + s, size_t(len));
+        if (const WordCache::Slot* hit = cache->find(text + s, len, h)) {
+          out.insert(out.end(), cache->toks.begin() + hit->off,
+                     cache->toks.begin() + hit->off + hit->cnt);
+        } else {
+          tmp.clear();
+          encode_word(text + s, size_t(len), false, tmp);
+          cache->insert(text + s, len, h, tmp.data(), tmp.size());
+          out.insert(out.end(), tmp.begin(), tmp.end());
+        }
+      } else {
+        encode_word(text + s, size_t(e - s), add_prefix, out);
+      }
       add_prefix = false;
     }
   }
@@ -669,12 +737,13 @@ int64_t ht_encode_batch(Engine* e, const uint8_t* text,
   n_threads = std::max(1, n_threads);
   std::atomic<int64_t> next(0);
   auto worker = [&]() {
+    Engine::WordCache cache;  // per-worker word memoization
     while (true) {
       int64_t i = next.fetch_add(1);
       if (i >= n_docs) break;
       e->encode_doc(text + doc_offsets[i],
                     size_t(doc_offsets[i + 1] - doc_offsets[i]),
-                    results[size_t(i)]);
+                    results[size_t(i)], &cache);
     }
   };
   if (n_threads == 1) {

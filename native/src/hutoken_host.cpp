@@ -329,8 +329,11 @@ struct Engine {
   // decode tables
   std::vector<std::string> id2str;
   int64_t vocab_size = 0;
-  // reverse remap patterns sorted by length desc
+  // reverse remap patterns sorted by length desc, plus a first-byte
+  // dispatch table so non-matching positions cost one probe
   std::vector<std::pair<std::string, int>> rev_patterns;
+  std::vector<std::vector<std::pair<std::string, int>>> rev_by_first =
+      std::vector<std::vector<std::pair<std::string, int>>>(256);
   size_t max_pattern_len = 0;
 
   Engine() : special(256), has_special(256, false) {}
@@ -627,7 +630,7 @@ struct Engine {
       i = prefix.size();
     while (i < len) {
       bool matched = false;
-      for (auto& [pat, idx] : rev_patterns) {
+      for (auto& [pat, idx] : rev_by_first[p[i]]) {
         if (pat.size() <= len - i &&
             std::memcmp(raw.data() + i, pat.data(), pat.size()) == 0) {
           out.push_back(char(uint8_t(idx)));
@@ -717,6 +720,10 @@ int ht_set_special(Engine* e, const uint8_t* bytes, const int64_t* offsets,
     if (e->has_special[b]) e->rev_patterns.emplace_back(e->special[b], b);
   std::sort(e->rev_patterns.begin(), e->rev_patterns.end(),
             [](auto& x, auto& y) { return x.first.size() > y.first.size(); });
+  for (auto& v : e->rev_by_first) v.clear();
+  for (auto& pr : e->rev_patterns)
+    if (!pr.first.empty())
+      e->rev_by_first[uint8_t(pr.first[0])].push_back(pr);
   return 0;
 }
 

@@ -67,6 +67,10 @@ def main() -> None:
         help="seconds to allow the device run (remote compiles can stall); "
         "on timeout the native host engine is benchmarked instead",
     )
+    parser.add_argument(
+        "--big-vocab", action="store_true",
+        help="use the GPT-2-scale (~30-50k token) fixture vocab",
+    )
     parser.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args()
     if args.quick:
@@ -82,6 +86,8 @@ def main() -> None:
                "--mb", str(args.mb)]
         if args.check:
             cmd.append("--check")
+        if args.big_vocab:
+            cmd.append("--big-vocab")
         try:
             proc = subprocess.run(
                 cmd, capture_output=True, text=True,
@@ -102,7 +108,10 @@ def main() -> None:
     from hutoken_tpu.context import TokenizerContext
     from hutoken_tpu.engine import TpuTokenizer
 
-    vocab_path, special_path = ft.write_byte_level_fixture()
+    if args.big_vocab:
+        vocab_path, special_path = ft.write_big_vocab_fixture()
+    else:
+        vocab_path, special_path = ft.write_byte_level_fixture()
     ctx = TokenizerContext.load(vocab_path, special_path, is_byte_encoder=True)
     engine = TpuTokenizer(ctx)
 
@@ -130,7 +139,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "byte-level BPE encode throughput, 1 chip, fixture vocab",
+                "metric": (
+                    "byte-level BPE encode throughput, 1 chip, "
+                    + ("50k-scale vocab" if args.big_vocab else "fixture vocab")
+                ),
                 "value": round(mbps, 2),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / 100.0, 3),

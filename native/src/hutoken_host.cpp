@@ -432,7 +432,7 @@ struct Engine {
           }
         }
         if (bi == SIZE_MAX) break;
-        int32_t r, mg;
+        int32_t r = 0, mg = 0;
         merges.get(ids[bi], ids[bi + 1], &r, &mg);
         ids[bi] = mg;
         ids.erase(ids.begin() + bi + 1);
@@ -824,7 +824,7 @@ int ht_decode_batch(Engine* e, const int32_t* tokens,
 // words' seed ids (byte_seed table) are packed into a flat array.
 // Returns number of unique words; -1 if any word needs host fallback
 // handling (caller then uses ht_encode_batch for those).
-int64_t ht_split_dedup(Engine* e, const uint8_t* text,
+int64_t ht_split_dedup(Engine* /*unused*/, const uint8_t* text,
                        const int64_t* doc_offsets, int64_t n_docs,
                        const int32_t* byte_seed /*256*/,
                        int32_t** out_word_ref,    // per doc-word: unique idx

@@ -156,6 +156,60 @@ def write_char_mode_fixture() -> tuple[str, str]:
     return vocab_path, special_path
 
 
+def write_big_vocab_fixture(target_size: int = 50257) -> tuple[str, str]:
+    """A GPT-2-scale byte-level vocab (≈50k tokens) for big-table
+    benchmarking: 256 byte seeds plus per-word prefix chains over a large
+    word-form list (every multi-char token splits into in-vocab halves,
+    like a trained BPE vocab; ids are creation-ordered)."""
+    import string as _string
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    vocab_path = os.path.join(FIXTURE_DIR, "bigvocab-vocab.txt")
+    special_path = os.path.join(FIXTURE_DIR, "bigvocab-vocab_special_chars.txt")
+    if os.path.exists(vocab_path) and os.path.exists(special_path):
+        return vocab_path, special_path
+
+    import random
+
+    rng = random.Random(7)
+    base_words = sorted(set(_BASE_TEXT.split()))
+    forms: list[str] = list(base_words)
+    while len(forms) < 14000:
+        w = rng.choice(base_words)
+        forms.append(
+            w
+            + rng.choice(_string.ascii_lowercase)
+            + rng.choice(_string.ascii_lowercase)
+        )
+    tokens: dict[bytes, int] = {}
+    for i in range(256):
+        tokens[bytes([i]) if i else b"\x00"] = i
+    next_id = 256
+    # breadth-first over prefix lengths mimics merge creation order
+    for ln in range(2, 24):
+        for w in forms:
+            wb = (" " + w).encode("utf-8")
+            for cand in (wb[:ln], wb[1 : 1 + ln]):
+                if len(cand) == ln and cand not in tokens:
+                    tokens[cand] = next_id
+                    next_id += 1
+                    if next_id >= target_size:
+                        break
+            if next_id >= target_size:
+                break
+        if next_id >= target_size:
+            break
+
+    b2u = gpt2_bytes_to_unicode()
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        for tok, idx in sorted(tokens.items(), key=lambda kv: kv[1]):
+            spelled = "".join(b2u[b] for b in tok).encode("utf-8")
+            hex_token = "".join(f"0x{b:02X}" for b in spelled)
+            f.write(f"{hex_token} == {idx}\n")
+    write_special_chars_file(special_path, gpt2_special_chars_table())
+    return vocab_path, special_path
+
+
 def tiktoken_encoding():
     """tiktoken.Encoding over the fixture ranks with a pattern equivalent
     to the reference parser (documented: tests/test_parser.c:10-12)."""

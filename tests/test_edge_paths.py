@@ -1,0 +1,64 @@
+"""Edge-path coverage: very long words (tail bucket + host fallback),
+words at bucket boundaries, pathological inputs."""
+
+import fixture_tools as ft
+from hutoken_tpu import oracle
+from hutoken_tpu.context import TokenizerContext
+
+
+def test_long_words_cross_buckets():
+    from hutoken_tpu.engine import TpuTokenizer
+
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    eng = TpuTokenizer(ctx)
+    texts = [
+        "x" * 31,           # primary bucket boundary
+        "x" * 32,
+        "x" * 33,           # tail bucket
+        "y" * 127,
+        "y" * 128,
+        "z" * 129,          # beyond the largest bucket -> host fallback
+        "w" * 4000,         # giant word
+        "a " + "q" * 200 + " b",
+    ]
+    got = eng.encode_batch(texts)
+    want = [oracle.encode(ctx, t) for t in texts]
+    assert got == want
+    assert eng.decode_batch(got) == texts
+
+
+def test_long_words_native():
+    from hutoken_tpu.native import NativeEngine, load_native
+
+    if load_native() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    ne = NativeEngine(ctx)
+    texts = ["x" * 600, "á" * 300, "🙂" * 80, ("ab" * 200 + " ") * 3]
+    assert ne.encode_batch(texts, 2) == [oracle.encode(ctx, t) for t in texts]
+
+
+def test_all_bytes_roundtrip():
+    """Every non-NUL byte value through encode+decode (byte mode)."""
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    # build a valid UTF-8 string containing every byte value via latin-1
+    # codepoints (bytes >= 0x80 appear as continuation/lead bytes of the
+    # UTF-8 encodings)
+    text = "".join(chr(c) for c in range(1, 256))
+    ids = oracle.encode(ctx, text)
+    assert all(i >= 0 for i in ids)
+    assert oracle.decode(ctx, ids) == text
+
+
+def test_mixed_whitespace_forms():
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    enc = ft.tiktoken_encoding()
+    for t in ["\t\t  \n \r\n\x0b\x0c", "a\tb\nc d", "   \t   ", "\n\n\n"]:
+        assert oracle.encode(ctx, t) == enc.encode(t), repr(t)
+        assert oracle.decode(ctx, oracle.encode(ctx, t)) == t

@@ -819,104 +819,6 @@ int ht_decode_batch(Engine* e, const int32_t* tokens,
   return 0;
 }
 
-// Split + dedup + seed for the device path (byte-encoder fast mode).
-// For each document, words are mapped to unique-word indices; unique
-// words' seed ids (byte_seed table) are packed into a flat array.
-// Returns number of unique words; -1 if any word needs host fallback
-// handling (caller then uses ht_encode_batch for those).
-int64_t ht_split_dedup(Engine* /*unused*/, const uint8_t* text,
-                       const int64_t* doc_offsets, int64_t n_docs,
-                       const int32_t* byte_seed /*256*/,
-                       int32_t** out_word_ref,    // per doc-word: unique idx
-                       int64_t** out_doc_word_offsets,  // n_docs+1
-                       int32_t** out_seed_ids,    // flat unique seeds
-                       int64_t** out_seed_offsets,  // n_unique+1
-                       uint8_t* out_flags)          // [n_unique] cap-checked by caller
-{
-  (void)out_flags;
-  struct USlot { uint64_t hash; int64_t off; int32_t len; int32_t idx; };
-  size_t cap = 1 << 12;
-  std::vector<USlot> slots(cap, USlot{0, -1, 0, 0});
-  uint64_t mask = cap - 1;
-  size_t count = 0;
-  std::vector<std::pair<int64_t, int32_t>> uniq;  // (abs offset, len)
-
-  std::vector<int32_t> word_ref;
-  std::vector<int64_t> dwo(1, 0);
-  std::vector<std::pair<int64_t, int64_t>> words;
-  for (int64_t d = 0; d < n_docs; ++d) {
-    const uint8_t* doc = text + doc_offsets[d];
-    size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
-    words.clear();
-    split_words(doc, dn, words);
-    for (auto& [s, epos] : words) {
-      int64_t abs_off = doc_offsets[d] + s;
-      int32_t len = int32_t(epos - s);
-      if (len == 0) continue;
-      uint64_t h = hash_bytes(text + abs_off, size_t(len));
-      size_t i = h & mask;
-      int32_t found = -1;
-      while (slots[i].off >= 0) {
-        if (slots[i].hash == h && slots[i].len == len &&
-            std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) ==
-                0) {
-          found = slots[i].idx;
-          break;
-        }
-        i = (i + 1) & mask;
-      }
-      if (found < 0) {
-        found = int32_t(count);
-        slots[i] = USlot{h, abs_off, len, found};
-        uniq.emplace_back(abs_off, len);
-        ++count;
-        if (count * 2 >= cap) {
-          // grow
-          size_t ncap = cap << 1;
-          std::vector<USlot> ns(ncap, USlot{0, -1, 0, 0});
-          uint64_t nm = ncap - 1;
-          for (auto& sl : slots) {
-            if (sl.off < 0) continue;
-            size_t j = sl.hash & nm;
-            while (ns[j].off >= 0) j = (j + 1) & nm;
-            ns[j] = sl;
-          }
-          slots.swap(ns);
-          cap = ncap;
-          mask = nm;
-        }
-      }
-      word_ref.push_back(found);
-    }
-    dwo.push_back(int64_t(word_ref.size()));
-  }
-
-  // pack seeds (byte mode: seed id per byte)
-  std::vector<int32_t> seeds;
-  std::vector<int64_t> soff(1, 0);
-  for (auto& [off, len] : uniq) {
-    for (int32_t k = 0; k < len; ++k)
-      seeds.push_back(byte_seed[text[off + k]]);
-    soff.push_back(int64_t(seeds.size()));
-  }
-
-  auto copy_i32 = [](const std::vector<int32_t>& v) {
-    auto* p = static_cast<int32_t*>(malloc(sizeof(int32_t) * std::max<size_t>(v.size(), 1)));
-    std::memcpy(p, v.data(), v.size() * sizeof(int32_t));
-    return p;
-  };
-  auto copy_i64 = [](const std::vector<int64_t>& v) {
-    auto* p = static_cast<int64_t*>(malloc(sizeof(int64_t) * std::max<size_t>(v.size(), 1)));
-    std::memcpy(p, v.data(), v.size() * sizeof(int64_t));
-    return p;
-  };
-  *out_word_ref = copy_i32(word_ref);
-  *out_doc_word_offsets = copy_i64(dwo);
-  *out_seed_ids = copy_i32(seeds);
-  *out_seed_offsets = copy_i64(soff);
-  return int64_t(count);
-}
-
 // Split + dedup only: words of all documents mapped to unique-word
 // indices; unique words returned as (offset,len) slices into the input
 // blob.  Feeds the TPU packing path; no per-word seed computation here.

@@ -62,3 +62,28 @@ def test_mixed_whitespace_forms():
     for t in ["\t\t  \n \r\n\x0b\x0c", "a\tb\nc d", "   \t   ", "\n\n\n"]:
         assert oracle.encode(ctx, t) == enc.encode(t), repr(t)
         assert oracle.decode(ctx, oracle.encode(ctx, t)) == t
+
+
+def test_unknown_seed_chars_fall_back_exactly():
+    """Char-mode vocab missing some chars: the reference emits -1 ids
+    (src/core.c:206-207,471); every engine must agree."""
+    from hutoken_tpu.formats import Vocab
+
+    toks = {b"a": 0, b"b": 1, b"ab": 2, b" ": 3}
+    vocab = Vocab(
+        str2id=dict(toks), id2str={v: k for k, v in toks.items()}, size=len(toks)
+    )
+    ctx = TokenizerContext(vocab=vocab)
+    texts = ["ab", "aXb", "é ab", "abXXab"]
+    want = [oracle.encode(ctx, t) for t in texts]
+    assert want[1] == [0, -1, 1]  # 'X' unknown -> -1 between a and b
+
+    from hutoken_tpu.engine import TpuTokenizer
+
+    eng = TpuTokenizer(ctx)
+    assert eng.encode_batch(texts) == want
+
+    from hutoken_tpu.native import NativeEngine, load_native
+
+    if load_native() is not None:
+        assert NativeEngine(ctx).encode_batch(texts, 2) == want

@@ -99,8 +99,12 @@ class TpuTokenizer:
             use_onehot,
         )
         # per-word tokenization cache (exactness-preserving; the reference
-        # recomputes every time, caching is a pure speedup)
-        self._word_cache: dict[bytes, np.ndarray] = {}
+        # recomputes every time, caching is a pure speedup).  Token lists
+        # live in one flat pool; the dict maps word -> (start, len) so
+        # assembly is a single vectorized gather, never 10k tiny arrays.
+        self._word_cache: dict[bytes, tuple[int, int]] = {}
+        self._cache_pool = np.zeros(1 << 16, dtype=np.int32)
+        self._cache_used = 0
         self._prefix_run: Optional[list[int]] = None
         # byte-mode fast-path support arrays
         self._u16_out = self.tables.vocab_size < 0xFFFF
@@ -121,6 +125,33 @@ class TpuTokenizer:
         except Exception:
             self._native_split_ok = False
         self._build_decode_fast_path()
+
+    def _pool_reserve(self, n: int) -> None:
+        need = self._cache_used + n
+        if need > self._cache_pool.shape[0]:
+            cap = self._cache_pool.shape[0]
+            while cap < need:
+                cap *= 2
+            new = np.zeros(cap, dtype=np.int32)
+            new[: self._cache_used] = self._cache_pool[: self._cache_used]
+            self._cache_pool = new
+
+    def _pool_append(self, arr) -> tuple[int, int]:
+        n = len(arr)
+        self._pool_reserve(n)
+        start = self._cache_used
+        self._cache_pool[start : start + n] = arr
+        self._cache_used += n
+        return start, n
+
+    def _pool_append_flat(self, flat: np.ndarray) -> int:
+        """Bulk append; returns the base offset."""
+        n = flat.shape[0]
+        self._pool_reserve(n)
+        base = self._cache_used
+        self._cache_pool[base : base + n] = flat
+        self._cache_used += n
+        return base
 
     # ------------------------------------------------------------- encode
 
@@ -215,6 +246,12 @@ class TpuTokenizer:
             if "\x00" in t:
                 raise ValueError("embedded null character")
 
+        # bound the word-cache pool (reset is cheap and exact)
+        if self._cache_used > (1 << 26):
+            self._word_cache.clear()
+            self._cache_pool = np.zeros(1 << 16, dtype=np.int32)
+            self._cache_used = 0
+
         # 1-2: split + dedup.  Per-document state is kept as flat arrays
         # of unique-word references so assembly is vectorized.  The C++
         # runtime does this phase at native speed when the configuration
@@ -257,23 +294,27 @@ class TpuTokenizer:
             t_start = _time.perf_counter()
 
         # 3: resolve unique words: cache -> byte fast path -> generic
-        # device path -> host fallback
+        # device path -> host fallback.  Spans index into the flat pool.
         n_uniq = len(uword_list)
-        results: list[Optional[np.ndarray]] = [None] * n_uniq
+        res_start = np.full(n_uniq, -1, dtype=np.int64)
+        res_len = np.zeros(n_uniq, dtype=np.int64)
         byte_buckets: dict[int, list[int]] = {b: [] for b in BUCKETS}
         id_buckets: dict[int, list[tuple[int, np.ndarray]]] = {b: [] for b in BUCKETS}
         byte_fast = (
             self.tables.is_byte_encoder and self.tables.byte_seed_ids is not None
         )
+        cache_get = self._word_cache.get
         for idx, (wb, glued) in enumerate(uword_list):
-            cached = self._word_cache.get(wb) if not glued else None
+            cached = cache_get(wb) if not glued else None
             if cached is not None:
-                results[idx] = cached
+                res_start[idx], res_len[idx] = cached
                 continue
             if byte_fast and not glued:
                 n = len(wb)
                 if n == 1:
-                    results[idx] = self._single_byte_ids[wb[0]]
+                    span = self._pool_append([int(self.tables.byte_seed_ids[wb[0]])])
+                    self._word_cache[wb] = span
+                    res_start[idx], res_len[idx] = span
                     continue
                 if n <= MAX_DEVICE_LEN:
                     for b in BUCKETS:
@@ -281,19 +322,24 @@ class TpuTokenizer:
                             byte_buckets[b].append(idx)
                             break
                     continue
-                results[idx] = np.asarray(
-                    self._encode_word_host(wb, None), dtype=np.int32
-                )
+                span = self._pool_append(self._encode_word_host(wb, None))
+                self._word_cache[wb] = span
+                res_start[idx], res_len[idx] = span
                 continue
             seeds = self._seed_word(wb, glued)
             if seeds is None or seeds.shape[0] > MAX_DEVICE_LEN:
-                results[idx] = np.asarray(
-                    self._encode_word_host(wb, self.ctx.prefix if glued else None),
-                    dtype=np.int32,
+                span = self._pool_append(
+                    self._encode_word_host(wb, self.ctx.prefix if glued else None)
                 )
+                if not glued:
+                    self._word_cache[wb] = span
+                res_start[idx], res_len[idx] = span
                 continue
             if seeds.shape[0] <= 1:
-                results[idx] = seeds.astype(np.int32)
+                span = self._pool_append(seeds.astype(np.int32))
+                if not glued:
+                    self._word_cache[wb] = span
+                res_start[idx], res_len[idx] = span
                 continue
             for b in BUCKETS:
                 if seeds.shape[0] <= b:
@@ -344,55 +390,52 @@ class TpuTokenizer:
                 pending.append((self._merge_block(block), ("ids", chunk)))
 
         for handle, (kind, meta) in pending:
-            out = np.asarray(handle)
             if kind == "bytes":
                 idxs = meta
                 k = len(idxs)
-                sub = out[:k].astype(np.int32)
+                # slice on device before download: padding rows never
+                # cross the (slow) host<->device link
+                out = np.asarray(handle[:k])
+                sub = out.astype(np.int32)
                 mask = sub != (0xFFFF if self._u16_out else -1)
-                counts = mask.sum(axis=1)
-                toks = sub[mask]
-                offs = np.concatenate(([0], np.cumsum(counts)))
-                for r, idx in enumerate(idxs):
-                    results[idx] = toks[offs[r] : offs[r + 1]]
             else:
-                chunk = meta
-                mask = out != -1
-                counts = mask.sum(axis=1)
-                toks = out[mask]
-                offs = np.concatenate(([0], np.cumsum(counts)))
-                for r, (idx, _) in enumerate(chunk):
-                    results[idx] = toks[offs[r] : offs[r + 1]]
+                idxs = [i for i, _ in meta]
+                k = len(idxs)
+                sub = np.asarray(handle[:k])
+                mask = sub != -1
+            counts = mask.sum(axis=1).astype(np.int64)
+            toks = sub[mask]
+            base = self._pool_append_flat(toks)
+            starts = base + np.concatenate(([0], np.cumsum(counts)[:-1]))
+            for r, idx in enumerate(idxs):
+                span = (int(starts[r]), int(counts[r]))
+                res_start[idx], res_len[idx] = span
+                wb, glued = uword_list[idx]
+                if not glued:
+                    self._word_cache[wb] = span
 
         if timing:
             print(f"[ht-timing] device+extract: {_time.perf_counter()-t_start:.3f}s")
             t_start = _time.perf_counter()
 
-        # update cache
-        for idx, (wb, glued) in enumerate(uword_list):
-            if not glued and wb not in self._word_cache:
-                self._word_cache[wb] = results[idx]
-
-        # 5: vectorized assembly: flat unique-token pool + per-doc ranges
-        ulens = np.array([r.shape[0] for r in results], dtype=np.int64)
-        uoffs = np.concatenate(([0], np.cumsum(ulens)))
-        upool = (
-            np.concatenate(results) if n_uniq else np.zeros(0, dtype=np.int32)
-        )
+        # 5: vectorized assembly straight from the pool
         refs = np.asarray(all_refs, dtype=np.int64)
-        rl = ulens[refs] if refs.size else np.zeros(0, dtype=np.int64)
-        rs = uoffs[refs] if refs.size else np.zeros(0, dtype=np.int64)
+        rl = res_len[refs] if refs.size else np.zeros(0, dtype=np.int64)
+        rs = res_start[refs] if refs.size else np.zeros(0, dtype=np.int64)
         total = int(rl.sum())
         within = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(rl) - rl, rl
         )
-        flat_tokens = upool[np.repeat(rs, rl) + within] if total else upool[:0]
-        # per-doc token counts
-        doc_tok_counts = []
-        p = 0
-        for c in doc_ref_counts:
-            doc_tok_counts.append(int(rl[p : p + c].sum()))
-            p += c
+        flat_tokens = (
+            self._cache_pool[np.repeat(rs, rl) + within]
+            if total
+            else np.zeros(0, dtype=np.int32)
+        )
+        # per-doc token counts via segment-sum over the ref axis
+        ref_cum = np.concatenate(([0], np.cumsum(rl)))
+        doc_ref_ends = np.cumsum(np.asarray(doc_ref_counts, dtype=np.int64))
+        doc_ref_starts = doc_ref_ends - np.asarray(doc_ref_counts, dtype=np.int64)
+        doc_tok_counts = ref_cum[doc_ref_ends] - ref_cum[doc_ref_starts]
         doc_offs = np.concatenate(([0], np.cumsum(doc_tok_counts)))
 
         if timing:

@@ -45,8 +45,11 @@ from .utils.logging import log_debug
 BUCKETS = (32, 128)
 MAX_DEVICE_LEN = BUCKETS[-1]
 # words per device launch; launches are issued asynchronously and synced
-# once, so per-dispatch latency (≈25 ms on tunneled devices) amortizes
+# once, so per-dispatch latency (≈25 ms on tunneled devices) amortizes.
+# Each bucket offers a half-size block too: kernel time scales with rows,
+# so small batches shouldn't pay for a mostly-padded big block.
 CHUNK_ROWS = {32: 65536, 128: 8192}
+HALF_ROWS = {32: 32768, 128: 4096}
 
 
 def _enable_compilation_cache() -> None:
@@ -355,9 +358,10 @@ class TpuTokenizer:
             blob = b"".join(uword_list[i][0] for i in idxs)
             flat = np.frombuffer(blob, dtype=np.uint8)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            rows = CHUNK_ROWS[b]
             lo = 0
             while lo < len(idxs):
+                remaining = len(idxs) - lo
+                rows = HALF_ROWS[b] if remaining <= HALF_ROWS[b] else CHUNK_ROWS[b]
                 hi = min(lo + rows, len(idxs))
                 k = hi - lo
                 raw = np.zeros((rows, b), dtype=np.uint8)
@@ -379,9 +383,10 @@ class TpuTokenizer:
         for b, items in id_buckets.items():
             if not items:
                 continue
-            rows = CHUNK_ROWS[b]
             lo = 0
             while lo < len(items):
+                remaining = len(items) - lo
+                rows = HALF_ROWS[b] if remaining <= HALF_ROWS[b] else CHUNK_ROWS[b]
                 chunk = items[lo : lo + rows]
                 lo += rows
                 block = np.full((rows, b), -1, dtype=np.int32)

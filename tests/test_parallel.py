@@ -118,6 +118,71 @@ def test_distributed_bbpe_close_to_host(mesh):
     assert overlap > 0.9, f"only {overlap:.2%} token overlap"
 
 
+def _simulate_distributed_bpe(corpus: bytes, vocab_size: int, n_shards: int):
+    """Numpy reference of the distributed *string* trainer: same device
+    semantics, id_offset=1, min merge count 1, repeat-stop on merged
+    spelling."""
+    from hutoken_tpu.train.common import left_to_right_merge_mask
+
+    K = vocab_size + 2
+    str2id = {}
+    id2str = {}
+    for i in range(256):
+        key = b"" if i == 0 else bytes([i])
+        str2id[key] = i
+        id2str[i] = key
+    count = 256
+
+    ids = np.frombuffer(corpus, dtype=np.uint8).astype(np.int64)
+    pad = (-len(ids)) % n_shards
+    if pad:
+        ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
+    shards = [s.copy() for s in np.split(ids, n_shards)]
+
+    prev_key = None
+    while count < vocab_size:
+        hist = np.zeros(K * K, dtype=np.int64)
+        for s in shards:
+            a, b = s[:-1], s[1:]
+            valid = (a >= 0) & (b >= 0)
+            np.add.at(hist, (a * K + b)[valid], 1)
+        key = int(hist.argmax())
+        cnt = int(hist[key])
+        if cnt < 1:
+            break
+        id1, id2 = key // K, key % K
+        new_id = count + 1
+        merged = id2str.get(id1, b"") + id2str.get(id2, b"")
+        if merged not in str2id:
+            count += 1
+        str2id[merged] = new_id
+        id2str[new_id] = merged
+        for i, s in enumerate(shards):
+            match = (s[:-1] == id1) & (s[1:] == id2)
+            take = left_to_right_merge_mask(match)
+            tk = np.flatnonzero(take)
+            s[tk] = new_id
+            consumed = np.zeros(len(s), dtype=bool)
+            consumed[tk + 1] = True
+            kept = s[~consumed]
+            shards[i] = np.concatenate(
+                [kept, np.full(len(s) - len(kept), -1, np.int64)]
+            )
+        if prev_key is not None and prev_key == merged:
+            break
+        prev_key = merged
+    return str2id
+
+
+def test_distributed_bpe_matches_simulator(mesh):
+    from hutoken_tpu.parallel.train import distributed_bpe_train
+
+    corpus = (b"szia vilag szep szavak szava szsz " * 24)
+    want = _simulate_distributed_bpe(corpus, 290, 8)
+    dist = distributed_bpe_train(corpus, 290, mesh=mesh, verbose=False)
+    assert dist == want
+
+
 def test_distributed_bpe_id_quirk(mesh):
     from hutoken_tpu.parallel.train import distributed_bpe_train
 

@@ -59,7 +59,7 @@ def build_corpus(target_mb: float, seed: int = 0) -> list[str]:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mb", type=float, default=24.0, help="corpus size MB")
+    parser.add_argument("--mb", type=float, default=8.0, help="corpus size MB")
     parser.add_argument("--quick", action="store_true", help="small fast run")
     parser.add_argument("--check", action="store_true", help="verify vs oracle")
     parser.add_argument(

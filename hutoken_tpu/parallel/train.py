@@ -26,6 +26,8 @@ have a unique max).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -59,7 +61,7 @@ def make_train_step(K: int, mesh, min_merge_count: int = 2):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def count_shard(ids):
         a = ids[:-1]
@@ -162,7 +164,7 @@ def make_scan_train_step(K: int, mesh, min_merge_count: int, scan_steps: int):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     _, _, fused_single = make_train_step(K, mesh, min_merge_count)
 
@@ -231,6 +233,9 @@ def _distributed_train(
     stop_on_pair: bool,
     verbose: bool,
     scan_steps: int = 32,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 512,
+    resume: bool = False,
 ) -> dict[bytes, int]:
     """Shared driver: scanned device steps + host bookkeeping replay.
 
@@ -261,12 +266,49 @@ def _distributed_train(
     )
     ids = shard_batch(mesh, jnp.asarray(ids_np))
 
+    # resume: reload the checkpoint vocab + merge log, replay the merges
+    # onto the sharded corpus, and continue training from there
+    merge_log: list[tuple[int, int, int]] = []
+    if resume and checkpoint_path is not None and os.path.exists(
+        checkpoint_path + ".merges"
+    ):
+        from ..train.common import load_checkpoint
+
+        str2id = load_checkpoint(checkpoint_path)
+        id2str = {idx: tok for tok, idx in str2id.items()}
+        count = len(str2id)  # hashmap-count semantics: distinct keys
+        _, merge_step_fn, _ = make_train_step(K, mesh, min_merge_count)
+        with open(checkpoint_path + ".merges", encoding="utf-8") as f:
+            for line in f:
+                id1, id2, new_id = (int(x) for x in line.split())
+                merge_log.append((id1, id2, new_id))
+                ids = merge_step_fn(ids, id1, id2, new_id)
+        if verbose:
+            print(f"resumed {len(merge_log)} merges from {checkpoint_path}")
+
+    def checkpoint() -> None:
+        if checkpoint_path is None:
+            return
+        from ..train.common import save_checkpoint
+
+        save_checkpoint(str2id, checkpoint_path)
+        with open(checkpoint_path + ".merges.tmp", "w", encoding="utf-8") as f:
+            for id1, id2, new_id in merge_log:
+                f.write(f"{id1} {id2} {new_id}\n")
+        os.replace(checkpoint_path + ".merges.tmp", checkpoint_path + ".merges")
+
+    merges_since_ckpt = 0
     prev_stop_key = None
 
     def bookkeep(key: int, cnt: int, expected_id: int):
         """Returns (stop, replacement, stop_key)."""
-        nonlocal count
+        nonlocal count, merges_since_ckpt
         id1, id2 = key // K, key % K
+        merge_log.append((id1, id2, expected_id))
+        merges_since_ckpt += 1
+        if merges_since_ckpt >= checkpoint_every:
+            merges_since_ckpt = 0
+            checkpoint()
         merged = id2str.get(id1, b"") + id2str.get(id2, b"")
         replacement = merged in str2id
         if not replacement:
@@ -282,6 +324,7 @@ def _distributed_train(
     while count < vocab_size:
         chunk_start_ids = ids
         chunk_start_count = count
+        chunk_start_log = len(merge_log)
         chunk_added: list[bytes] = []
         start_id = count + id_offset
         new_ids, keys, cnts = scan_step(ids, start_id)
@@ -316,6 +359,7 @@ def _distributed_train(
             # rollback this chunk's bookkeeping and redo it single-step
             for added in chunk_added:
                 del str2id[added]
+            del merge_log[chunk_start_log:]
             # (ids overwritten below; id2str stale entries are harmless)
             count = chunk_start_count
             prev_stop_key = None  # conservatively recomputed below
@@ -341,6 +385,7 @@ def _distributed_train(
                 break
             continue
         ids = new_ids
+    checkpoint()
     return str2id
 
 
@@ -351,13 +396,18 @@ def distributed_bbpe_train(
     mesh,
     verbose: bool = True,
     scan_steps: int = 32,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 512,
+    resume: bool = False,
 ) -> dict[bytes, int]:
     """Byte-level distributed training (device pair counting + psum,
-    K merges per dispatch)."""
+    K merges per dispatch, optional checkpoint/resume)."""
     return _distributed_train(
         data, vocab_size, mesh,
         id_offset=0, min_merge_count=2, stop_on_pair=True,
         verbose=verbose, scan_steps=scan_steps,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        resume=resume,
     )
 
 
@@ -368,6 +418,9 @@ def distributed_bpe_train(
     mesh,
     verbose: bool = True,
     scan_steps: int = 32,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 512,
+    resume: bool = False,
 ) -> dict[bytes, int]:
     """String-keyed distributed training.
 
@@ -381,4 +434,6 @@ def distributed_bpe_train(
         data, vocab_size, mesh,
         id_offset=1, min_merge_count=1, stop_on_pair=False,
         verbose=verbose, scan_steps=scan_steps,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        resume=resume,
     )

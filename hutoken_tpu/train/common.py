@@ -62,6 +62,33 @@ def left_to_right_merge_mask(mask: np.ndarray) -> np.ndarray:
     return mask & ((pos_in_run & 1) == 0)
 
 
+def save_checkpoint(str2id: dict[bytes, int], path: str) -> None:
+    """Write an intermediate vocab snapshot (same hex format as the final
+    artifact, atomically).  The reference never checkpoints — its only
+    artifact is the final save (src/helper.c:130-191); incremental
+    checkpoints make long training runs resumable."""
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for token, value in sorted(str2id.items(), key=lambda kv: (kv[1], kv[0])):
+            if not token:
+                f.write("0x00")
+            else:
+                f.write("".join(f"0x{b:02X}" for b in token))
+            f.write(f" == {value}\n")
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> dict[bytes, int]:
+    """Reload a checkpoint into trainer state (token bytes -> id)."""
+    from ..formats import parse_vocab_file
+
+    vocab = parse_vocab_file(path)
+    out = {}
+    for token, idx in vocab.str2id.items():
+        out[token if token != b"" else b""] = idx
+    return out
+
+
 def save_vocab(str2id: dict[bytes, int], file_name: str) -> str:
     """Write the trained vocab to ``$HOME/config/<file_name>`` in hex format
     (reference: src/helper.c:130-191).

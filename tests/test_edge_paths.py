@@ -87,3 +87,22 @@ def test_unknown_seed_chars_fall_back_exactly():
 
     if load_native() is not None:
         assert NativeEngine(ctx).encode_batch(texts, 2) == want
+
+
+def test_custom_regex_pattern_paths():
+    """User-supplied POSIX pattern (src/core.c:352-359): oracle and
+    device engine agree; gaps between matches are skipped."""
+    from hutoken_tpu.engine import TpuTokenizer
+
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(
+        v, s, is_byte_encoder=True, pattern="[a-zA-Z]+|[0-9]+"
+    )
+    texts = ["hello world 42", "  gaps!! are## skipped 7x", "", "123abc"]
+    want = [oracle.encode(ctx, t) for t in texts]
+    # gap-skipping: punctuation/spaces not matched by the pattern vanish
+    dec = oracle.decode(ctx, want[1])
+    assert dec == "gapsareskipped7x"
+
+    eng = TpuTokenizer(ctx)
+    assert eng.encode_batch(texts) == want

@@ -67,6 +67,9 @@ def initialize(model_or_path: str, *args: Any, **kwargs: Any):
     """
     global _ctx, _engine, _backend
     initialize_logging()
+    from .utils.mem import tune_allocator
+
+    tune_allocator()
     _backend = kwargs.pop("backend", os.environ.get("HUTOKEN_TPU_BACKEND", "auto"))
 
     if os.path.isfile(model_or_path):

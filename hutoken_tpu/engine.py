@@ -82,6 +82,9 @@ class TpuTokenizer:
         import jax  # deferred so host-only paths never require a device
         import jax.numpy as jnp
 
+        from .utils.mem import tune_allocator
+
+        tune_allocator()
         _enable_compilation_cache()
         self._jax = jax
         self._jnp = jnp
@@ -509,6 +512,8 @@ class TpuTokenizer:
 
     def decode_batch(self, token_lists: list[list[int]]) -> list[str]:
         V = self.tables.vocab_size
+        if self._decode_fast and self.ctx.prefix is None and token_lists:
+            return self._decode_batch_flat(token_lists)
         out: list[str] = []
         for ids in token_lists:
             arr = np.asarray(ids, dtype=np.int64)
@@ -531,6 +536,62 @@ class TpuTokenizer:
                     oracle.reverse_remap_nostrip(self.ctx, raw).decode("utf-8")
                 )
         return out
+
+    def _decode_batch_flat(self, token_lists: list[list[int]]) -> list[str]:
+        """One flat vectorized pass over the whole batch (no-prefix,
+        single-char-pattern byte mode): detokenize + reverse remap with
+        zero per-document numpy work."""
+        V = self.tables.vocab_size
+        counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=np.int64) for t in token_lists if t]
+        ) if counts.sum() else np.zeros(0, dtype=np.int64)
+        if flat.size and (flat.min() < 0 or flat.max() >= V):
+            raise ValueError(
+                "Element must be non-negative and less than vocab size."
+            )
+        rows = self.tables.token_bytes[flat]
+        lens = self.tables.token_lens[flat].astype(np.int64)
+        mask = np.arange(rows.shape[1], dtype=np.int32)[None, :] < lens[:, None]
+        data = rows[mask]  # flat raw bytes of the whole batch
+
+        # per-doc byte boundaries
+        len_cum = np.concatenate(([0], np.cumsum(lens)))
+        tok_ends = np.cumsum(counts)
+        doc_byte_ends = len_cum[tok_ends]
+        doc_byte_starts = len_cum[tok_ends - counts]
+
+        # per-char reverse remap over the flat stream (alignment is
+        # per-char and docs end on char boundaries, so one pass serves all)
+        n = data.shape[0]
+        if n == 0:
+            return ["" for _ in token_lists]
+        is_start = (data & 0xC0) != 0x80
+        starts = np.flatnonzero(is_start)
+        b0 = data[starts].astype(np.int32)
+        nxt = np.minimum(starts + 1, n - 1)
+        b1 = data[nxt].astype(np.int32)
+        one_byte = b0 < 0x80
+        two_byte = (b0 & 0xE0) == 0xC0
+        p1 = self._pat1[b0]
+        p2 = np.where(two_byte, self._pat2[((b0 << 8) | b1) & 0xFFFF], -1)
+        cp2 = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+        out_bytes = np.where(
+            one_byte,
+            np.where(p1 >= 0, p1, b0),
+            np.where(p2 >= 0, p2, np.where(two_byte & (cp2 < 256), cp2, ord("?"))),
+        ).astype(np.uint8)
+
+        # each char start emits exactly one byte: output doc boundaries =
+        # number of char starts before each input boundary
+        start_cum = np.concatenate(([0], np.cumsum(is_start)))
+        out_starts = start_cum[doc_byte_starts]
+        out_ends = start_cum[doc_byte_ends]
+        blob = out_bytes.tobytes()
+        return [
+            blob[out_starts[i] : out_ends[i]].decode("utf-8")
+            for i in range(len(token_lists))
+        ]
 
     def _reverse_remap_np(self, raw: bytes) -> bytes:
         """Per-char vectorized reverse remap (byte-encoder mode, single-char

@@ -147,6 +147,9 @@ class NativeEngine:
     """Host engine instance bound to one tokenizer context."""
 
     def __init__(self, ctx) -> None:
+        from .utils.mem import tune_allocator
+
+        tune_allocator()
         lib = load_native()
         if lib is None:
             raise RuntimeError("native host library unavailable")

@@ -37,9 +37,18 @@ class TokenizerContext:
         pattern: Optional[str] = None,
         merges_file_path: Optional[str] = None,
     ) -> "TokenizerContext":
-        """Load files the way ``p_initialize`` does (src/lib.c:185-666)."""
+        """Load files the way ``p_initialize`` does (src/lib.c:185-666).
+
+        ``special_file_path=None`` loads an empty replacement table — the
+        reference README documents single-argument initialize
+        (README.md:157) even though its C binding cannot take it.
+        """
         vocab = parse_vocab_file(vocab_file_path)
-        special_chars = parse_special_chars_file(special_file_path)
+        special_chars = (
+            parse_special_chars_file(special_file_path)
+            if special_file_path is not None
+            else {}
+        )
         merges = None
         if merges_file_path is not None:
             merges = parse_merges_file(merges_file_path, vocab)

@@ -121,3 +121,12 @@ def test_train_arg_validation(tmp_path):
 def test_foma_unavailable_raises():
     with pytest.raises(RuntimeError, match="Foma support is not installed"):
         hutoken.initialize_foma()
+
+
+def test_initialize_without_special_file():
+    # README-documented single-arg usage (reference README.md:155-158)
+    vocab_path, _ = ft.write_byte_level_fixture()
+    hutoken.initialize(vocab_path, backend="host")
+    ids = hutoken.encode("the")
+    assert ids and all(i >= 0 for i in ids)
+    assert hutoken.decode(ids) == "the"

@@ -357,6 +357,9 @@ class TpuTokenizer:
         for b, idxs in byte_buckets.items():
             if not idxs:
                 continue
+            # sort by length: the merge loop runs max-merges-in-chunk
+            # rounds, so homogeneous chunks make short-word chunks cheap
+            idxs.sort(key=lambda i: len(uword_list[i][0]))
             lens = np.array([len(uword_list[i][0]) for i in idxs], dtype=np.int32)
             blob = b"".join(uword_list[i][0] for i in idxs)
             flat = np.frombuffer(blob, dtype=np.uint8)
@@ -386,6 +389,7 @@ class TpuTokenizer:
         for b, items in id_buckets.items():
             if not items:
                 continue
+            items.sort(key=lambda t: t[1].shape[0])
             lo = 0
             while lo < len(items):
                 remaining = len(items) - lo

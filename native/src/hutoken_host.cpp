@@ -828,81 +828,154 @@ int64_t ht_split_dedup_slices(const uint8_t* text, const int64_t* doc_offsets,
                               int64_t** out_doc_word_offsets,  // n_docs+1
                               int64_t** out_uniq_offsets,  // [n_uniq]
                               int32_t** out_uniq_lens) {   // [n_uniq]
-  struct USlot { uint64_t hash; int64_t off; int32_t len; int32_t idx; };
-  size_t cap = 1 << 12;
-  std::vector<USlot> slots(cap, USlot{0, -1, 0, 0});
-  uint64_t mask = cap - 1;
-  size_t count = 0;
-  std::vector<int64_t> uoff;
-  std::vector<int32_t> ulen;
-  std::vector<int32_t> word_ref;
-  std::vector<int64_t> dwo(1, 0);
-  std::vector<std::pair<int64_t, int64_t>> words;
-
-  for (int64_t d = 0; d < n_docs; ++d) {
-    const uint8_t* doc = text + doc_offsets[d];
-    size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
-    words.clear();
-    split_words(doc, dn, words);
-    for (auto& [s, epos] : words) {
-      int64_t abs_off = doc_offsets[d] + s;
-      int32_t len = int32_t(epos - s);
-      if (len == 0) continue;
-      uint64_t h = hash_bytes(text + abs_off, size_t(len));
-      size_t i = h & mask;
-      int32_t found = -1;
-      while (slots[i].off >= 0) {
-        if (slots[i].hash == h && slots[i].len == len &&
-            std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) ==
-                0) {
-          found = slots[i].idx;
-          break;
+  // Phase A (parallel over documents): parser split into word slices.
+  int n_threads = std::min<int>(
+      std::max(1u, std::thread::hardware_concurrency()), 4);
+  std::vector<std::vector<std::pair<int64_t, int64_t>>> doc_words(
+      static_cast<size_t>(n_docs));
+  {
+    std::atomic<int64_t> next(0);
+    auto split_worker = [&]() {
+      while (true) {
+        int64_t d = next.fetch_add(1);
+        if (d >= n_docs) break;
+        const uint8_t* doc = text + doc_offsets[d];
+        size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
+        auto& words = doc_words[size_t(d)];
+        split_words(doc, dn, words);
+        // convert to absolute offsets, drop empties in place
+        size_t w = 0;
+        for (auto& [sp, ep] : words) {
+          if (ep <= sp) continue;
+          words[w++] = {doc_offsets[d] + sp, doc_offsets[d] + ep};
         }
-        i = (i + 1) & mask;
+        words.resize(w);
       }
-      if (found < 0) {
-        found = int32_t(count);
-        slots[i] = USlot{h, abs_off, len, found};
-        uoff.push_back(abs_off);
-        ulen.push_back(len);
-        ++count;
-        if (count * 2 >= cap) {
-          size_t ncap = cap << 1;
-          std::vector<USlot> ns(ncap, USlot{0, -1, 0, 0});
-          uint64_t nm = ncap - 1;
-          for (auto& sl : slots) {
-            if (sl.off < 0) continue;
-            size_t j = sl.hash & nm;
-            while (ns[j].off >= 0) j = (j + 1) & nm;
-            ns[j] = sl;
-          }
-          slots.swap(ns);
-          cap = ncap;
-          mask = nm;
-        }
-      }
-      word_ref.push_back(found);
+    };
+    if (n_threads == 1) {
+      split_worker();
+    } else {
+      std::vector<std::thread> pool;
+      for (int t = 0; t < n_threads; ++t) pool.emplace_back(split_worker);
+      for (auto& th : pool) th.join();
     }
-    dwo.push_back(int64_t(word_ref.size()));
   }
 
-  auto copy_i32 = [](const std::vector<int32_t>& v) {
-    auto* p = static_cast<int32_t*>(
-        malloc(sizeof(int32_t) * std::max<size_t>(v.size(), 1)));
-    std::memcpy(p, v.data(), v.size() * sizeof(int32_t));
-    return p;
+  std::vector<int64_t> dwo(size_t(n_docs) + 1, 0);
+  for (int64_t d = 0; d < n_docs; ++d)
+    dwo[size_t(d) + 1] = dwo[size_t(d)] + int64_t(doc_words[size_t(d)].size());
+  int64_t total_words = dwo[size_t(n_docs)];
+  auto* word_ref = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * std::max<int64_t>(total_words, 1)));
+
+  // Phase B (parallel by hash partition): each of two workers owns the
+  // words whose hash parity matches it, so dedup maps are contention-free
+  // and refs are written to disjoint positions.
+  const int PARTS = n_threads >= 2 ? 2 : 1;
+  struct USlot { uint64_t hash; int64_t off; int32_t len; int32_t idx; };
+  std::vector<std::vector<USlot>> part_slots(PARTS);
+  std::vector<std::vector<int64_t>> part_uoff(PARTS);
+  std::vector<std::vector<int32_t>> part_ulen(PARTS);
+
+  auto dedup_worker = [&](int part) {
+    size_t cap = 1 << 12;
+    std::vector<USlot> slots(cap, USlot{0, -1, 0, 0});
+    uint64_t mask = cap - 1;
+    size_t count = 0;
+    auto& uoff = part_uoff[part];
+    auto& ulen = part_ulen[part];
+    int64_t pos = 0;
+    for (int64_t d = 0; d < n_docs; ++d) {
+      for (auto& [abs_off, abs_end] : doc_words[size_t(d)]) {
+        int64_t my_pos = pos++;
+        int32_t len = int32_t(abs_end - abs_off);
+        uint64_t h = hash_bytes(text + abs_off, size_t(len));
+        if (PARTS == 2 && int(h & 1) != part) continue;
+        size_t i = (h >> 1) & mask;
+        int32_t found = -1;
+        while (slots[i].off >= 0) {
+          if (slots[i].hash == h && slots[i].len == len &&
+              std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) ==
+                  0) {
+            found = slots[i].idx;
+            break;
+          }
+          i = (i + 1) & mask;
+        }
+        if (found < 0) {
+          found = int32_t(count);
+          slots[i] = USlot{h, abs_off, len, found};
+          uoff.push_back(abs_off);
+          ulen.push_back(len);
+          ++count;
+          if (count * 2 >= cap) {
+            size_t ncap = cap << 1;
+            std::vector<USlot> ns(ncap, USlot{0, -1, 0, 0});
+            uint64_t nm = ncap - 1;
+            for (auto& sl : slots) {
+              if (sl.off < 0) continue;
+              size_t j = (sl.hash >> 1) & nm;
+              while (ns[j].off >= 0) j = (j + 1) & nm;
+              ns[j] = sl;
+            }
+            slots.swap(ns);
+            cap = ncap;
+            mask = nm;
+          }
+        }
+        // tag partition-1 ids so rebasing is a single linear pass
+        word_ref[my_pos] = part == 1 ? (found | (1 << 30)) : found;
+      }
+    }
   };
+  if (PARTS == 1) {
+    dedup_worker(0);
+  } else {
+    std::thread t0(dedup_worker, 0);
+    std::thread t1(dedup_worker, 1);
+    t0.join();
+    t1.join();
+  }
+
+  // rebase partition-local unique ids to a global id space
+  int64_t n_uniq = 0;
+  std::vector<int32_t> base(PARTS, 0);
+  for (int pt = 0; pt < PARTS; ++pt) {
+    base[pt] = int32_t(n_uniq);
+    n_uniq += int64_t(part_uoff[pt].size());
+  }
+  if (PARTS == 2) {
+    const int32_t tag = 1 << 30;
+    for (int64_t i = 0; i < total_words; ++i)
+      if (word_ref[i] & tag) word_ref[i] = (word_ref[i] & ~tag) + base[1];
+  }
+
+  std::vector<int64_t> uoff;
+  std::vector<int32_t> ulen;
+  uoff.reserve(size_t(n_uniq));
+  ulen.reserve(size_t(n_uniq));
+  for (int pt = 0; pt < PARTS; ++pt) {
+    uoff.insert(uoff.end(), part_uoff[pt].begin(), part_uoff[pt].end());
+    ulen.insert(ulen.end(), part_ulen[pt].begin(), part_ulen[pt].end());
+  }
+
   auto copy_i64 = [](const std::vector<int64_t>& v) {
     auto* p = static_cast<int64_t*>(
         malloc(sizeof(int64_t) * std::max<size_t>(v.size(), 1)));
     std::memcpy(p, v.data(), v.size() * sizeof(int64_t));
     return p;
   };
-  *out_word_ref = copy_i32(word_ref);
+  auto copy_i32v = [](const std::vector<int32_t>& v) {
+    auto* p = static_cast<int32_t*>(
+        malloc(sizeof(int32_t) * std::max<size_t>(v.size(), 1)));
+    std::memcpy(p, v.data(), v.size() * sizeof(int32_t));
+    return p;
+  };
+  *out_word_ref = word_ref;
   *out_doc_word_offsets = copy_i64(dwo);
   *out_uniq_offsets = copy_i64(uoff);
-  *out_uniq_lens = copy_i32(ulen);
-  return int64_t(count);
+  *out_uniq_lens = copy_i32v(ulen);
+  return n_uniq;
 }
 
 void ht_free_i32(int32_t* p) { free(p); }

@@ -27,6 +27,7 @@ have a unique max).
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 
@@ -49,6 +50,27 @@ def _merge_mask_device(match):
     start_idx = jax.lax.associative_scan(jnp.maximum, start_idx)
     pos_in_run = idx - start_idx
     return match & ((pos_in_run & 1) == 0)
+
+
+def _compact(new):
+    """Stable in-shard compaction: kept (!= -1) elements keep order, holes
+    sink to the shard tail (so array adjacency = pair adjacency next step).
+
+    cumsum + scatter instead of a stable argsort: a sort of the full shard
+    is ~30x the cost of this scatter on TPU and is the compile-heavy op in
+    the scanned train step.
+    """
+    import jax.numpy as jnp
+
+    keep = new != -1
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n = new.shape[0]
+    # masked elements target index n -> dropped by the OOB mode
+    return (
+        jnp.full((n,), -1, new.dtype)
+        .at[jnp.where(keep, pos, n)]
+        .set(new, mode="drop")
+    )
 
 
 def make_train_step(K: int, mesh, min_merge_count: int = 2):
@@ -81,8 +103,6 @@ def make_train_step(K: int, mesh, min_merge_count: int = 2):
         return best_key.astype(jnp.int32), best_count.astype(jnp.int32)
 
     def apply_merge(ids, id1, id2, new_id):
-        from ..ops.merge import fast_gather
-
         a = ids[:-1]
         b = ids[1:]
         match = (a == id1) & (b == id2)
@@ -92,10 +112,7 @@ def make_train_step(K: int, mesh, min_merge_count: int = 2):
             jnp.concatenate([take, jnp.zeros((1,), bool)]), new_id, ids
         )
         new = jnp.where(consumed, -1, new)
-        # stable in-shard compaction: kept elements keep order, holes sink
-        # to the shard tail (so adjacency = pair adjacency next step)
-        perm = jnp.argsort(new == -1, stable=True)
-        return fast_gather(new, perm.astype(jnp.int32))
+        return _compact(new)
 
     def fused(ids, new_id):
         """count + psum + argmax + conditional merge, one dispatch."""
@@ -178,8 +195,6 @@ def make_scan_train_step(K: int, mesh, min_merge_count: int, scan_steps: int):
         )
 
     def apply_merge(ids, id1, id2, new_id):
-        from ..ops.merge import fast_gather
-
         a = ids[:-1]
         b = ids[1:]
         match = (a == id1) & (b == id2)
@@ -189,8 +204,7 @@ def make_scan_train_step(K: int, mesh, min_merge_count: int, scan_steps: int):
             jnp.concatenate([take, jnp.zeros((1,), bool)]), new_id, ids
         )
         new = jnp.where(consumed, -1, new)
-        perm = jnp.argsort(new == -1, stable=True)
-        return fast_gather(new, perm.astype(jnp.int32))
+        return _compact(new)
 
     def chunk(ids, start_new_id):
         def body(carry, i):
@@ -299,6 +313,8 @@ def _distributed_train(
 
     merges_since_ckpt = 0
     prev_stop_key = None
+    timing = os.environ.get("HUTOKEN_TPU_TIMING") == "1"
+    chunk_times: list[float] = []
 
     def bookkeep(key: int, cnt: int, expected_id: int):
         """Returns (stop, replacement, stop_key)."""
@@ -327,9 +343,17 @@ def _distributed_train(
         chunk_start_log = len(merge_log)
         chunk_added: list[bytes] = []
         start_id = count + id_offset
+        t_chunk = time.perf_counter() if timing else 0.0
         new_ids, keys, cnts = scan_step(ids, start_id)
         keys = np.asarray(keys)
         cnts = np.asarray(cnts)
+        if timing:
+            chunk_times.append(time.perf_counter() - t_chunk)
+            if len(chunk_times) in (1, 2) or len(chunk_times) % 16 == 0:
+                print(
+                    f"[ht-timing] train chunk {len(chunk_times)}: "
+                    f"{chunk_times[-1]:.3f}s"
+                )
 
         stopped = False
         diverged_at = -1

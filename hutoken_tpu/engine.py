@@ -352,8 +352,15 @@ class TpuTokenizer:
                     id_buckets[b].append((idx, seeds))
                     break
 
-        # 4: device merges — all chunks issued asynchronously, one sync
-        pending: list[tuple[object, object]] = []
+        if timing:
+            print(f"[ht-timing]   resolve-loop: {_time.perf_counter()-t_start:.3f}s")
+            t_mid = _time.perf_counter()
+
+        # 4: device merges — all chunks issued asynchronously, one sync.
+        # Each launch returns the packed layout (counts + compacted
+        # tokens); the host downloads a prefix bounded by the chunk's
+        # seed count, so d2h bytes track real output size.
+        pending: list[tuple[object, str, list, int, int]] = []
         for b, idxs in byte_buckets.items():
             if not idxs:
                 continue
@@ -384,7 +391,9 @@ class TpuTokenizer:
                 lens_pad = np.zeros(rows, dtype=np.int32)
                 lens_pad[:k] = cl
                 handle = self._merge_bytes_block(raw, lens_pad)
-                pending.append((handle, ("bytes", idxs[lo:hi])))
+                pending.append(
+                    (handle, "bytes", idxs[lo:hi], rows, int(cl.sum()))
+                )
                 lo = hi
         for b, items in id_buckets.items():
             if not items:
@@ -397,34 +406,55 @@ class TpuTokenizer:
                 chunk = items[lo : lo + rows]
                 lo += rows
                 block = np.full((rows, b), -1, dtype=np.int32)
+                seed_sum = 0
                 for r, (_, seeds) in enumerate(chunk):
                     block[r, : seeds.shape[0]] = seeds
-                pending.append((self._merge_block(block), ("ids", chunk)))
+                    seed_sum += seeds.shape[0]
+                pending.append(
+                    (
+                        self._merge_block(block),
+                        "ids",
+                        [i for i, _ in chunk],
+                        rows,
+                        seed_sum,
+                    )
+                )
 
-        for handle, (kind, meta) in pending:
-            if kind == "bytes":
-                idxs = meta
-                k = len(idxs)
-                # slice on device before download: padding rows never
-                # cross the (slow) host<->device link
-                out = np.asarray(handle[:k])
-                sub = out.astype(np.int32)
-                mask = sub != (0xFFFF if self._u16_out else -1)
-            else:
-                idxs = [i for i, _ in meta]
-                k = len(idxs)
-                sub = np.asarray(handle[:k])
-                mask = sub != -1
-            counts = mask.sum(axis=1).astype(np.int64)
-            toks = sub[mask]
-            base = self._pool_append_flat(toks)
+        if timing:
+            print(f"[ht-timing]   pack+launch: {_time.perf_counter()-t_mid:.3f}s")
+            t_mid = _time.perf_counter()
+
+        from .ops.merge import slice_prefix
+
+        GRAN = 32768  # prefix-slice granularity bounds the compile set
+        for handle, kind, idxs, rows, tok_bound in pending:
+            k = len(idxs)
+            full = int(handle.shape[0])
+            need = min(-(-(rows + tok_bound) // GRAN) * GRAN, full)
+            sliced = np.asarray(
+                slice_prefix(handle, need) if need < full else handle
+            )
+            counts = sliced[:k].astype(np.int64)
+            total = int(counts.sum())
+            toks = sliced[rows : rows + total]
+            base = self._pool_append_flat(toks.astype(np.int32))
             starts = base + np.concatenate(([0], np.cumsum(counts)[:-1]))
+            if timing:
+                print(f"[ht-timing]   sync+d2h: {_time.perf_counter()-t_mid:.3f}s")
+                t_mid = _time.perf_counter()
+            idx_arr = np.asarray(idxs, dtype=np.int64)
+            res_start[idx_arr] = starts
+            res_len[idx_arr] = counts
+            starts_l = starts.tolist()
+            counts_l = counts.tolist()
+            wcache = self._word_cache
             for r, idx in enumerate(idxs):
-                span = (int(starts[r]), int(counts[r]))
-                res_start[idx], res_len[idx] = span
                 wb, glued = uword_list[idx]
                 if not glued:
-                    self._word_cache[wb] = span
+                    wcache[wb] = (starts_l[r], counts_l[r])
+            if timing:
+                print(f"[ht-timing]   cache-spans: {_time.perf_counter()-t_mid:.3f}s")
+                t_mid = _time.perf_counter()
 
         if timing:
             print(f"[ht-timing] device+extract: {_time.perf_counter()-t_start:.3f}s")
@@ -482,14 +512,16 @@ class TpuTokenizer:
             ).block_until_ready()
 
     def _merge_block(self, block: np.ndarray):
-        from .ops.merge import merge_words
+        from .ops.merge import merge_words_packed
 
-        return merge_words(self.table_arrays, self._jnp.asarray(block))
+        return merge_words_packed(
+            self.table_arrays, self._jnp.asarray(block), False
+        )
 
     def _merge_bytes_block(self, raw: np.ndarray, lens: np.ndarray):
-        from .ops.merge import merge_words_from_bytes
+        from .ops.merge import merge_words_from_bytes_packed
 
-        return merge_words_from_bytes(
+        return merge_words_from_bytes_packed(
             self.table_arrays,
             self._byte_seed_dev,
             self._jnp.asarray(raw),

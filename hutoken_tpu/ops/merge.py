@@ -288,6 +288,87 @@ def merge_words(table_arrays, ids: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _compact_output(out_ids: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """Pack merge results for a minimal host transfer.
+
+    ``out_ids`` is [W, L] with PAD = -1 scattered at the tail of each
+    row.  Returns ONE 1-D array ``[W + W*L]``: per-row token counts
+    first, then all valid tokens compacted row-major (row r's tokens at
+    ``flat[W + cumsum_excl(counts)[r] : ... + counts[r]]``).  The host
+    downloads only a prefix of this (token count is bounded by the seed
+    count, known host-side), so the d2h transfer scales with real
+    output bytes instead of the padded block — on tunneled links the
+    transfer otherwise dominates the whole device phase.
+    """
+    W, L = out_ids.shape
+    valid = out_ids >= 0
+    counts = jnp.sum(valid, axis=1, dtype=jnp.int32)  # [W]
+    row_base = jnp.cumsum(counts) - counts  # exclusive prefix [W]
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1  # within-row index
+    dest = row_base[:, None] + pos
+    dest = jnp.where(valid, dest, W * L)  # out-of-bounds => dropped
+    flat = jnp.zeros((W * L,), dtype=out_dtype)
+    flat = flat.at[dest.reshape(-1)].set(
+        out_ids.astype(out_dtype).reshape(-1), mode="drop", unique_indices=True
+    )
+    return jnp.concatenate([counts.astype(out_dtype), flat])
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def slice_prefix(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Device-side prefix slice (download less; one compile per n)."""
+    return jax.lax.slice(x, (0,), (n,))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("probe_len", "cap_mask", "use_onehot", "u16_out")
+)
+def _merge_ids_packed(
+    t_left, t_right, t_rank, t_merged, ids, probe_len, cap_mask, use_onehot, u16_out
+):
+    out = _merge_fixed_point.__wrapped__(
+        t_left, t_right, t_rank, t_merged, ids, probe_len, cap_mask, use_onehot
+    )
+    return _compact_output(out, jnp.uint16 if u16_out else jnp.int32)
+
+
+def merge_words_packed(table_arrays, ids: jnp.ndarray, u16_out: bool):
+    """Like merge_words but returns the compact packed layout
+    (see _compact_output)."""
+    t_left, t_right, t_rank, t_merged, probe_len, cap_mask, use_onehot = table_arrays
+    return _merge_ids_packed(
+        t_left, t_right, t_rank, t_merged, ids,
+        probe_len=probe_len, cap_mask=cap_mask, use_onehot=use_onehot,
+        u16_out=u16_out,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("probe_len", "cap_mask", "use_onehot", "u16_out")
+)
+def _merge_bytes_packed(
+    t_left, t_right, t_rank, t_merged, byte_seed, raw, lens,
+    probe_len, cap_mask, use_onehot, u16_out,
+):
+    ids = _seed_from_bytes(byte_seed, raw, lens)
+    out = _merge_fixed_point.__wrapped__(
+        t_left, t_right, t_rank, t_merged, ids, probe_len, cap_mask, use_onehot
+    )
+    return _compact_output(out, jnp.uint16 if u16_out else jnp.int32)
+
+
+def merge_words_from_bytes_packed(
+    table_arrays, byte_seed, raw: jnp.ndarray, lens: jnp.ndarray, u16_out: bool
+):
+    """Byte-mode fast path with the compact packed output layout."""
+    t_left, t_right, t_rank, t_merged, probe_len, cap_mask, use_onehot = table_arrays
+    return _merge_bytes_packed(
+        t_left, t_right, t_rank, t_merged, byte_seed, raw, lens,
+        probe_len=probe_len, cap_mask=cap_mask, use_onehot=use_onehot,
+        u16_out=u16_out,
+    )
+
+
 def _seed_from_bytes(byte_seed, raw: jnp.ndarray, lens: jnp.ndarray):
     """uint8 word bytes [W, L] + lens [W] -> seed ids int32 (PAD = -1).
 

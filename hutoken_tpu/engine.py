@@ -242,6 +242,41 @@ class TpuTokenizer:
         return uword_list, all_refs, doc_ref_counts, doc_prefix_run
 
     def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        flat, doc_offs, doc_prefix_run = self._encode_core(texts)
+        prefix_run = None
+        out_docs: list[list[int]] = []
+        for i in range(len(texts)):
+            toks = flat[doc_offs[i] : doc_offs[i + 1]].tolist()
+            if doc_prefix_run[i]:
+                if prefix_run is None:
+                    prefix_run = self._prefix_token_run()
+                toks = list(prefix_run) + toks
+            out_docs.append(toks)
+        return out_docs
+
+    def encode_batch_arrays(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch encode to (flat_tokens int32, doc_offsets int64).
+
+        The arrays form is the natural product for TPU serving (token
+        streams feed device buffers); it also skips the Python-object
+        materialization cost of list outputs.  ``flat[offs[i]:offs[i+1]]``
+        is document i's token ids.
+        """
+        flat, doc_offs, doc_prefix_run = self._encode_core(texts)
+        if any(doc_prefix_run):
+            run = np.asarray(self._prefix_token_run(), dtype=np.int32)
+            flags = np.asarray(doc_prefix_run)
+            pos = np.repeat(doc_offs[:-1][flags], len(run))
+            vals = np.tile(run, int(flags.sum()))
+            flat = np.insert(flat, pos, vals)
+            doc_offs = doc_offs + np.concatenate(
+                ([0], np.cumsum(flags.astype(np.int64) * len(run)))
+            )
+        return flat, doc_offs
+
+    def _encode_core(self, texts: list[str]):
         import os
         import time as _time
 
@@ -289,11 +324,14 @@ class TpuTokenizer:
                 for o, l in zip(uo_np, ul_np)
             ]
             all_refs = wr_np
-            doc_ref_counts = np.diff(dwo_np).tolist()
+            dwo_arr = dwo_np
             doc_prefix_run = [False] * len(texts)
         else:
             uword_list, all_refs, doc_ref_counts, doc_prefix_run = (
                 self._split_dedup_py(texts)
+            )
+            dwo_arr = np.concatenate(
+                ([0], np.cumsum(np.asarray(doc_ref_counts, dtype=np.int64)))
             )
         if timing:
             print(f"[ht-timing] split+dedup: {_time.perf_counter()-t_start:.3f}s")
@@ -460,42 +498,41 @@ class TpuTokenizer:
             print(f"[ht-timing] device+extract: {_time.perf_counter()-t_start:.3f}s")
             t_start = _time.perf_counter()
 
-        # 5: vectorized assembly straight from the pool
-        refs = np.asarray(all_refs, dtype=np.int64)
-        rl = res_len[refs] if refs.size else np.zeros(0, dtype=np.int64)
-        rs = res_start[refs] if refs.size else np.zeros(0, dtype=np.int64)
-        total = int(rl.sum())
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(rl) - rl, rl
-        )
-        flat_tokens = (
-            self._cache_pool[np.repeat(rs, rl) + within]
-            if total
-            else np.zeros(0, dtype=np.int32)
-        )
-        # per-doc token counts via segment-sum over the ref axis
-        ref_cum = np.concatenate(([0], np.cumsum(rl)))
-        doc_ref_ends = np.cumsum(np.asarray(doc_ref_counts, dtype=np.int64))
-        doc_ref_starts = doc_ref_ends - np.asarray(doc_ref_counts, dtype=np.int64)
-        doc_tok_counts = ref_cum[doc_ref_ends] - ref_cum[doc_ref_starts]
-        doc_offs = np.concatenate(([0], np.cumsum(doc_tok_counts)))
+        # 5: assembly straight from the pool — native span-gather when the
+        # library is present, vectorized numpy otherwise
+        assembled = None
+        if self._native_split_ok and len(all_refs):
+            from .native import assemble
+
+            assembled = assemble(
+                np.asarray(all_refs, dtype=np.int32),
+                dwo_arr,
+                res_start,
+                res_len,
+                self._cache_pool,
+            )
+        if assembled is not None:
+            flat_tokens, doc_offs = assembled
+        else:
+            refs = np.asarray(all_refs, dtype=np.int64)
+            rl = res_len[refs] if refs.size else np.zeros(0, dtype=np.int64)
+            rs = res_start[refs] if refs.size else np.zeros(0, dtype=np.int64)
+            total = int(rl.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(rl) - rl, rl
+            )
+            flat_tokens = (
+                self._cache_pool[np.repeat(rs, rl) + within]
+                if total
+                else np.zeros(0, dtype=np.int32)
+            )
+            # per-doc token counts via segment-sum over the ref axis
+            ref_cum = np.concatenate(([0], np.cumsum(rl)))
+            doc_offs = ref_cum[dwo_arr]
 
         if timing:
-            print(f"[ht-timing] cache+assembly: {_time.perf_counter()-t_start:.3f}s")
-            t_start = _time.perf_counter()
-
-        prefix_run = None
-        out_docs: list[list[int]] = []
-        for i in range(len(texts)):
-            toks = flat_tokens[doc_offs[i] : doc_offs[i + 1]].tolist()
-            if doc_prefix_run[i]:
-                if prefix_run is None:
-                    prefix_run = self._prefix_token_run()
-                toks = list(prefix_run) + toks
-            out_docs.append(toks)
-        if timing:
-            print(f"[ht-timing] tolist: {_time.perf_counter()-t_start:.3f}s")
-        return out_docs
+            print(f"[ht-timing] assembly: {_time.perf_counter()-t_start:.3f}s")
+        return flat_tokens, doc_offs, doc_prefix_run
 
     def warmup(self) -> None:
         """Compile the primary block shape (the tail bucket compiles

@@ -93,6 +93,12 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
         ctypes.POINTER(_i64p), ctypes.POINTER(_i32p),
     ]
+    lib.ht_assemble.restype = ctypes.c_int64
+    lib.ht_assemble.argtypes = [
+        _i32p, ctypes.c_int64, _i64p, ctypes.c_int64,
+        _i64p, _i64p, _i32p,
+        ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
+    ]
     lib.ht_free_i32.argtypes = [_i32p]
     lib.ht_free_i64.argtypes = [_i64p]
     lib.ht_free_u8.argtypes = [_u8p]
@@ -129,6 +135,43 @@ def split_dedup_slices(blob: np.ndarray, doc_offsets: np.ndarray):
     lib.ht_free_i64(uo)
     lib.ht_free_i32(ul)
     return wr_np, dwo_np, uo_np, ul_np
+
+
+def assemble(
+    word_refs: np.ndarray,
+    doc_word_offsets: np.ndarray,
+    span_start: np.ndarray,
+    span_len: np.ndarray,
+    pool: np.ndarray,
+):
+    """Native span-gather assembly: per doc-word reference, copy its
+    unique-word token span from the pool.  Returns (flat_tokens int32,
+    doc_token_offsets int64) or None when the library is unavailable.
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    word_refs = np.ascontiguousarray(word_refs, dtype=np.int32)
+    doc_word_offsets = np.ascontiguousarray(doc_word_offsets, dtype=np.int64)
+    span_start = np.ascontiguousarray(span_start, dtype=np.int64)
+    span_len = np.ascontiguousarray(span_len, dtype=np.int64)
+    pool = np.ascontiguousarray(pool, dtype=np.int32)
+    n_docs = len(doc_word_offsets) - 1
+    out_toks = _i32p()
+    out_offs = _i64p()
+    total = lib.ht_assemble(
+        _np_i32p(word_refs), len(word_refs),
+        _np_i64p(doc_word_offsets), n_docs,
+        _np_i64p(span_start), _np_i64p(span_len), _np_i32p(pool),
+        ctypes.byref(out_toks), ctypes.byref(out_offs),
+    )
+    offs = np.ctypeslib.as_array(out_offs, shape=(n_docs + 1,)).copy()
+    toks = np.ctypeslib.as_array(out_toks, shape=(max(int(total), 1),))[
+        : int(total)
+    ].copy()
+    lib.ht_free_i32(out_toks)
+    lib.ht_free_i64(out_offs)
+    return toks, offs
 
 
 def _np_i64p(a: np.ndarray):

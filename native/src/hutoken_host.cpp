@@ -275,6 +275,27 @@ inline bool is_oth(uint32_t cp) {
   return cp != 0 && !is_ws(cp) && !is_hu_alpha(cp) && !is_dig(cp);
 }
 
+// per-ASCII-byte class bits for the split fast path (multi-byte chars
+// take the decode path; bytes >= 0x80 are never matched by the table)
+enum : uint8_t { CLS_ALPHA = 1, CLS_DIGIT = 2, CLS_OTH = 4, CLS_WS = 8 };
+struct AsciiClassTable {
+  uint8_t t[256] = {};
+  AsciiClassTable() {
+    for (int b = 0; b < 0x80; ++b) {
+      uint32_t cp = uint32_t(b);
+      if (is_ws(cp))
+        t[b] = CLS_WS;
+      else if (is_hu_alpha(cp))
+        t[b] = CLS_ALPHA;
+      else if (is_dig(cp))
+        t[b] = CLS_DIGIT;
+      else if (cp != 0)
+        t[b] = CLS_OTH;
+    }
+  }
+};
+const AsciiClassTable kAscii;
+
 // emit word slices [start, end) into out; returns count
 size_t split_words(const uint8_t* text, size_t n,
                    std::vector<std::pair<int64_t, int64_t>>& out) {
@@ -284,10 +305,17 @@ size_t split_words(const uint8_t* text, size_t n,
     // class cascade with one optional leading 0x20
     bool matched = false;
     for (int cls = 0; cls < 3 && !matched; ++cls) {
+      const uint8_t want = cls == 0 ? CLS_ALPHA : cls == 1 ? CLS_DIGIT : CLS_OTH;
       size_t s = pos;
       if (text[s] == ' ') ++s;
       size_t e = s;
       while (e < n) {
+        uint8_t b = text[e];
+        if (b < 0x80) {  // ASCII fast path: one table load per byte
+          if (kAscii.t[b] != want) break;
+          ++e;
+          continue;
+        }
         int len = 0;
         uint32_t cp = decode_utf8_checked(text + e, end, &len);
         bool ok = cls == 0   ? is_hu_alpha(cp)
@@ -828,135 +856,154 @@ int64_t ht_split_dedup_slices(const uint8_t* text, const int64_t* doc_offsets,
                               int64_t** out_doc_word_offsets,  // n_docs+1
                               int64_t** out_uniq_offsets,  // [n_uniq]
                               int32_t** out_uniq_lens) {   // [n_uniq]
-  // Phase A (parallel over documents): parser split into word slices.
+  // Fused single pass: each worker pulls whole documents, splits,
+  // hashes, and dedups against its own local map, emitting worker-local
+  // unique ids.  The same word may become a unique in several workers;
+  // a cheap serial merge (over ~uniques, not words) builds the global
+  // id space, and a final parallel pass remaps the per-doc refs.  Every
+  // input byte is read once; there is no intermediate word array.
   int n_threads = std::min<int>(
       std::max(1u, std::thread::hardware_concurrency()), 4);
-  std::vector<std::vector<std::pair<int64_t, int64_t>>> doc_words(
-      static_cast<size_t>(n_docs));
+  struct USlot { uint64_t hash; int64_t off = -1; int32_t len; int32_t idx; };
+  struct Local {
+    std::vector<USlot> slots = std::vector<USlot>(1 << 12);
+    uint64_t mask = (1 << 12) - 1;
+    size_t count = 0;
+    std::vector<int64_t> uoff;
+    std::vector<int32_t> ulen;
+    std::vector<uint64_t> uhash;
+
+    int32_t intern(const uint8_t* text, int64_t abs_off, int32_t len,
+                   uint64_t h) {
+      size_t i = h & mask;
+      while (slots[i].off >= 0) {
+        if (slots[i].hash == h && slots[i].len == len &&
+            std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) == 0)
+          return slots[i].idx;
+        i = (i + 1) & mask;
+      }
+      int32_t id = int32_t(count);
+      slots[i] = USlot{h, abs_off, len, id};
+      uoff.push_back(abs_off);
+      ulen.push_back(len);
+      uhash.push_back(h);
+      if (++count * 2 >= slots.size()) grow();
+      return id;
+    }
+    void grow() {
+      std::vector<USlot> old;
+      old.swap(slots);
+      slots.assign(old.size() * 2, USlot{});
+      mask = slots.size() - 1;
+      for (auto& s : old) {
+        if (s.off < 0) continue;
+        size_t i = s.hash & mask;
+        while (slots[i].off >= 0) i = (i + 1) & mask;
+        slots[i] = s;
+      }
+    }
+  };
+  std::vector<Local> locals{size_t(n_threads)};
+  std::vector<std::vector<int32_t>> doc_refs(static_cast<size_t>(n_docs));
+  std::vector<uint8_t> doc_owner(static_cast<size_t>(std::max<int64_t>(n_docs, 1)));
   {
     std::atomic<int64_t> next(0);
-    auto split_worker = [&]() {
+    auto worker = [&](int t) {
+      Local& loc = locals[size_t(t)];
+      std::vector<std::pair<int64_t, int64_t>> words;
       while (true) {
         int64_t d = next.fetch_add(1);
         if (d >= n_docs) break;
+        doc_owner[size_t(d)] = uint8_t(t);
         const uint8_t* doc = text + doc_offsets[d];
         size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
-        auto& words = doc_words[size_t(d)];
+        words.clear();
         split_words(doc, dn, words);
-        // convert to absolute offsets, drop empties in place
-        size_t w = 0;
+        auto& refs = doc_refs[size_t(d)];
+        refs.reserve(words.size());
         for (auto& [sp, ep] : words) {
           if (ep <= sp) continue;
-          words[w++] = {doc_offsets[d] + sp, doc_offsets[d] + ep};
+          int32_t len = int32_t(ep - sp);
+          uint64_t h = hash_bytes(doc + sp, size_t(len));
+          refs.push_back(loc.intern(text, doc_offsets[d] + sp, len, h));
         }
-        words.resize(w);
       }
     };
     if (n_threads == 1) {
-      split_worker();
+      worker(0);
     } else {
       std::vector<std::thread> pool;
-      for (int t = 0; t < n_threads; ++t) pool.emplace_back(split_worker);
+      for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
+      worker(0);
       for (auto& th : pool) th.join();
     }
   }
 
-  std::vector<int64_t> dwo(size_t(n_docs) + 1, 0);
-  for (int64_t d = 0; d < n_docs; ++d)
-    dwo[size_t(d) + 1] = dwo[size_t(d)] + int64_t(doc_words[size_t(d)].size());
-  int64_t total_words = dwo[size_t(n_docs)];
-  auto* word_ref = static_cast<int32_t*>(
-      malloc(sizeof(int32_t) * std::max<int64_t>(total_words, 1)));
-
-  // Phase B (parallel by hash partition): each of two workers owns the
-  // words whose hash parity matches it, so dedup maps are contention-free
-  // and refs are written to disjoint positions.
-  const int PARTS = n_threads >= 2 ? 2 : 1;
-  struct USlot { uint64_t hash; int64_t off; int32_t len; int32_t idx; };
-  std::vector<std::vector<USlot>> part_slots(PARTS);
-  std::vector<std::vector<int64_t>> part_uoff(PARTS);
-  std::vector<std::vector<int32_t>> part_ulen(PARTS);
-
-  auto dedup_worker = [&](int part) {
+  // serial merge of the local unique sets into a global id space
+  std::vector<int64_t> uoff;
+  std::vector<int32_t> ulen;
+  std::vector<std::vector<int32_t>> remap{size_t(n_threads)};
+  {
+    size_t total_local = 0;
+    for (auto& loc : locals) total_local += loc.count;
     size_t cap = 1 << 12;
-    std::vector<USlot> slots(cap, USlot{0, -1, 0, 0});
+    while (cap < 2 * total_local + 8) cap <<= 1;
+    std::vector<USlot> slots(cap, USlot{});
     uint64_t mask = cap - 1;
-    size_t count = 0;
-    auto& uoff = part_uoff[part];
-    auto& ulen = part_ulen[part];
-    int64_t pos = 0;
-    for (int64_t d = 0; d < n_docs; ++d) {
-      for (auto& [abs_off, abs_end] : doc_words[size_t(d)]) {
-        int64_t my_pos = pos++;
-        int32_t len = int32_t(abs_end - abs_off);
-        uint64_t h = hash_bytes(text + abs_off, size_t(len));
-        if (PARTS == 2 && int(h & 1) != part) continue;
-        size_t i = (h >> 1) & mask;
+    uoff.reserve(total_local);
+    ulen.reserve(total_local);
+    for (int t = 0; t < n_threads; ++t) {
+      Local& loc = locals[size_t(t)];
+      remap[size_t(t)].resize(loc.count);
+      for (size_t u = 0; u < loc.count; ++u) {
+        uint64_t h = loc.uhash[u];
+        int64_t off = loc.uoff[u];
+        int32_t len = loc.ulen[u];
+        size_t i = h & mask;
         int32_t found = -1;
         while (slots[i].off >= 0) {
           if (slots[i].hash == h && slots[i].len == len &&
-              std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) ==
-                  0) {
+              std::memcmp(text + slots[i].off, text + off, size_t(len)) == 0) {
             found = slots[i].idx;
             break;
           }
           i = (i + 1) & mask;
         }
         if (found < 0) {
-          found = int32_t(count);
-          slots[i] = USlot{h, abs_off, len, found};
-          uoff.push_back(abs_off);
+          found = int32_t(uoff.size());
+          slots[i] = USlot{h, off, len, found};
+          uoff.push_back(off);
           ulen.push_back(len);
-          ++count;
-          if (count * 2 >= cap) {
-            size_t ncap = cap << 1;
-            std::vector<USlot> ns(ncap, USlot{0, -1, 0, 0});
-            uint64_t nm = ncap - 1;
-            for (auto& sl : slots) {
-              if (sl.off < 0) continue;
-              size_t j = (sl.hash >> 1) & nm;
-              while (ns[j].off >= 0) j = (j + 1) & nm;
-              ns[j] = sl;
-            }
-            slots.swap(ns);
-            cap = ncap;
-            mask = nm;
-          }
         }
-        // tag partition-1 ids so rebasing is a single linear pass
-        word_ref[my_pos] = part == 1 ? (found | (1 << 30)) : found;
+        remap[size_t(t)][u] = found;
       }
     }
-  };
-  if (PARTS == 1) {
-    dedup_worker(0);
-  } else {
-    std::thread t0(dedup_worker, 0);
-    std::thread t1(dedup_worker, 1);
-    t0.join();
-    t1.join();
   }
+  int64_t n_uniq = int64_t(uoff.size());
 
-  // rebase partition-local unique ids to a global id space
-  int64_t n_uniq = 0;
-  std::vector<int32_t> base(PARTS, 0);
-  for (int pt = 0; pt < PARTS; ++pt) {
-    base[pt] = int32_t(n_uniq);
-    n_uniq += int64_t(part_uoff[pt].size());
-  }
-  if (PARTS == 2) {
-    const int32_t tag = 1 << 30;
-    for (int64_t i = 0; i < total_words; ++i)
-      if (word_ref[i] & tag) word_ref[i] = (word_ref[i] & ~tag) + base[1];
-  }
-
-  std::vector<int64_t> uoff;
-  std::vector<int32_t> ulen;
-  uoff.reserve(size_t(n_uniq));
-  ulen.reserve(size_t(n_uniq));
-  for (int pt = 0; pt < PARTS; ++pt) {
-    uoff.insert(uoff.end(), part_uoff[pt].begin(), part_uoff[pt].end());
-    ulen.insert(ulen.end(), part_ulen[pt].begin(), part_ulen[pt].end());
+  // doc offsets + parallel remap of per-doc refs into the flat output
+  std::vector<int64_t> dwo(size_t(n_docs) + 1, 0);
+  for (int64_t d = 0; d < n_docs; ++d)
+    dwo[size_t(d) + 1] = dwo[size_t(d)] + int64_t(doc_refs[size_t(d)].size());
+  int64_t total_words = dwo[size_t(n_docs)];
+  auto* word_ref = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * std::max<int64_t>(total_words, 1)));
+  {
+    std::atomic<int64_t> next(0);
+    auto remap_worker = [&]() {
+      while (true) {
+        int64_t d = next.fetch_add(1);
+        if (d >= n_docs) break;
+        const auto& rm = remap[doc_owner[size_t(d)]];
+        const auto& refs = doc_refs[size_t(d)];
+        int32_t* dst = word_ref + dwo[size_t(d)];
+        for (size_t i = 0; i < refs.size(); ++i) dst[i] = rm[size_t(refs[i])];
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; ++t) pool.emplace_back(remap_worker);
+    remap_worker();
+    for (auto& th : pool) th.join();
   }
 
   auto copy_i64 = [](const std::vector<int64_t>& v) {
@@ -976,6 +1023,73 @@ int64_t ht_split_dedup_slices(const uint8_t* text, const int64_t* doc_offsets,
   *out_uniq_offsets = copy_i64(uoff);
   *out_uniq_lens = copy_i32v(ulen);
   return n_uniq;
+}
+
+// Assemble per-document token streams from unique-word spans: for each
+// doc-word reference, copy its span out of the token pool.  Replaces the
+// engine's numpy gather assembly (the per-byte cost there is index
+// arithmetic; here it is two parallel passes of adds + memcpy).
+int64_t ht_assemble(const int32_t* word_ref, int64_t total_words,
+                    const int64_t* doc_word_offsets, int64_t n_docs,
+                    const int64_t* span_start, const int64_t* span_len,
+                    const int32_t* pool,
+                    int32_t** out_tokens, int64_t** out_doc_offsets) {
+  (void)total_words;  // implied by doc_word_offsets[n_docs]
+  auto* doc_off = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * size_t(n_docs + 1)));
+  int n_threads =
+      std::min<int>(std::max(1u, std::thread::hardware_concurrency()), 4);
+
+  // pass 1: per-doc token counts (parallel over doc ranges)
+  {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      while (true) {
+        int64_t d = next.fetch_add(1);
+        if (d >= n_docs) break;
+        int64_t total = 0;
+        for (int64_t w = doc_word_offsets[d]; w < doc_word_offsets[d + 1]; ++w)
+          total += span_len[word_ref[w]];
+        doc_off[d + 1] = total;  // counts first; prefix-summed below
+      }
+    };
+    std::vector<std::thread> pool_t;
+    for (int t = 1; t < n_threads; ++t) pool_t.emplace_back(worker);
+    worker();
+    for (auto& th : pool_t) th.join();
+  }
+  doc_off[0] = 0;
+  for (int64_t d = 0; d < n_docs; ++d) doc_off[d + 1] += doc_off[d];
+  int64_t total_tokens = doc_off[n_docs];
+  auto* toks = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * size_t(std::max<int64_t>(total_tokens, 1))));
+
+  // pass 2: copy spans (parallel over doc ranges; disjoint outputs)
+  {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      while (true) {
+        int64_t d = next.fetch_add(1);
+        if (d >= n_docs) break;
+        int64_t pos = doc_off[d];
+        for (int64_t w = doc_word_offsets[d]; w < doc_word_offsets[d + 1];
+             ++w) {
+          int32_t ref = word_ref[w];
+          int64_t len = span_len[ref];
+          std::memcpy(toks + pos, pool + span_start[ref],
+                      size_t(len) * sizeof(int32_t));
+          pos += len;
+        }
+      }
+    };
+    std::vector<std::thread> pool_t;
+    for (int t = 1; t < n_threads; ++t) pool_t.emplace_back(worker);
+    worker();
+    for (auto& th : pool_t) th.join();
+  }
+  *out_tokens = toks;
+  *out_doc_offsets = doc_off;
+  return total_tokens;
 }
 
 void ht_free_i32(int32_t* p) { free(p); }

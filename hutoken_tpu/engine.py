@@ -44,12 +44,15 @@ from .utils.logging import log_debug
 # track the longest word in a chunk; inactive lanes are cheap.
 BUCKETS = (32, 128)
 MAX_DEVICE_LEN = BUCKETS[-1]
-# words per device launch; launches are issued asynchronously and synced
-# once, so per-dispatch latency (≈25 ms on tunneled devices) amortizes.
-# Each bucket offers a half-size block too: kernel time scales with rows,
-# so small batches shouldn't pay for a mostly-padded big block.
-CHUNK_ROWS = {32: 65536, 128: 8192}
-HALF_ROWS = {32: 32768, 128: 4096}
+# rows per device launch: fixed small blocks keep the compiled-shape set
+# at ONE shape per bucket while (a) kernel time scales with real work
+# instead of a huge padded block and (b) length-sorted homogeneous
+# blocks exit the merge fixed point early.  Launches are asynchronous
+# and synced once, so per-dispatch latency (~25 ms tunneled) amortizes.
+ROW_BLOCKS = {32: 8192, 128: 2048}
+# documents are processed in byte-bounded groups; each group's device
+# blocks are in flight while the host splits the next group
+GROUP_BYTES = 2 << 20
 
 
 def _enable_compilation_cache() -> None:
@@ -281,7 +284,6 @@ class TpuTokenizer:
         import time as _time
 
         timing = os.environ.get("HUTOKEN_TPU_TIMING") == "1"
-        t_start = _time.perf_counter()
 
         for t in texts:
             if "\x00" in t:
@@ -293,19 +295,161 @@ class TpuTokenizer:
             self._cache_pool = np.zeros(1 << 16, dtype=np.int32)
             self._cache_used = 0
 
-        # 1-2: split + dedup.  Per-document state is kept as flat arrays
-        # of unique-word references so assembly is vectorized.  The C++
-        # runtime does this phase at native speed when the configuration
-        # allows (default parser, no prefix gluing to track).
         if (
             self.ctx.compiled_pattern is None
             and self.ctx.prefix is None
             and self._native_split_ok
         ):
-            from .native import split_dedup_slices
+            return self._encode_core_pipelined(texts, timing, _time)
+        return self._encode_core_py(texts, timing, _time)
 
-            blobs = [t.encode("utf-8") for t in texts]
-            doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
+    # ---------------- device launch/extract helpers (both core paths)
+
+    def _launch_byte_words(self, bucket: int, items: list, pending: list) -> None:
+        """items = (key, word_bytes) pairs; packs length-sorted fixed-row
+        blocks and issues asynchronous merge launches."""
+        if not items:
+            return
+        items.sort(key=lambda kv: len(kv[1]))
+        rows = ROW_BLOCKS[bucket]
+        lens = np.array([len(wb) for _, wb in items], dtype=np.int32)
+        blob = b"".join(wb for _, wb in items)
+        flat = np.frombuffer(blob, dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        lo = 0
+        while lo < len(items):
+            hi = min(lo + rows, len(items))
+            k = hi - lo
+            raw = np.zeros((rows, bucket), dtype=np.uint8)
+            cl = lens[lo:hi]
+            cs = starts[lo:hi]
+            # vectorized ragged pack: scatter all word bytes at once
+            pos_in_word = np.arange(int(cl.sum())) - np.repeat(
+                np.cumsum(cl) - cl, cl
+            )
+            rows_idx = np.repeat(np.arange(k), cl)
+            raw[rows_idx, pos_in_word] = flat[np.repeat(cs, cl) + pos_in_word]
+            lens_pad = np.zeros(rows, dtype=np.int32)
+            lens_pad[:k] = cl
+            handle = self._merge_bytes_block(raw, lens_pad)
+            pending.append(
+                (handle, [key for key, _ in items[lo:hi]], rows, int(cl.sum()))
+            )
+            lo = hi
+
+    def _launch_id_words(self, bucket: int, items: list, pending: list) -> None:
+        """items = (key, seed_ids) pairs; same contract as the byte path."""
+        if not items:
+            return
+        items.sort(key=lambda t: t[1].shape[0])
+        rows = ROW_BLOCKS[bucket]
+        lo = 0
+        while lo < len(items):
+            chunk = items[lo : lo + rows]
+            lo += rows
+            block = np.full((rows, bucket), -1, dtype=np.int32)
+            seed_sum = 0
+            for r, (_, seeds) in enumerate(chunk):
+                block[r, : seeds.shape[0]] = seeds
+                seed_sum += seeds.shape[0]
+            pending.append(
+                (self._merge_block(block), [k for k, _ in chunk], rows, seed_sum)
+            )
+
+    def _extract_pending(self, pending, res_start, res_len, word_for_key) -> None:
+        """Sync + download each launch's packed prefix (counts, then the
+        row-major compacted tokens); fill spans and the word cache."""
+        from .ops.merge import slice_prefix
+
+        GRAN = 32768  # prefix-slice granularity bounds the compile set
+        wcache = self._word_cache
+        sliced_handles = []
+        for handle, keys, rows, tok_bound in pending:
+            full = int(handle.shape[0])
+            need = min(-(-(rows + tok_bound) // GRAN) * GRAN, full)
+            sliced_handles.append(
+                slice_prefix(handle, need) if need < full else handle
+            )
+        # one bulk fetch: all transfers issued together instead of one
+        # blocking round trip per block (the tunnel costs ~25 ms each)
+        outs = self._jax.device_get(sliced_handles)
+        for (handle, keys, rows, tok_bound), sliced in zip(pending, outs):
+            k = len(keys)
+            counts = sliced[:k].astype(np.int64)
+            total = int(counts.sum())
+            toks = sliced[rows : rows + total]
+            base = self._pool_append_flat(toks.astype(np.int32))
+            starts = base + np.concatenate(([0], np.cumsum(counts)[:-1]))
+            key_arr = np.asarray(keys, dtype=np.int64)
+            res_start[key_arr] = starts
+            res_len[key_arr] = counts
+            starts_l = starts.tolist()
+            counts_l = counts.tolist()
+            for r, key in enumerate(keys):
+                wb = word_for_key(key)
+                if wb is not None:
+                    wcache[wb] = (starts_l[r], counts_l[r])
+
+    def _resolve_generic(self, wb, g, new_ids, res_start, res_len) -> None:
+        """Non-byte-fast unique word: seed by elements, bucket for the
+        device, or fall back to the exact host path."""
+        seeds = self._seed_word(wb, False)
+        if seeds is None or seeds.shape[0] > MAX_DEVICE_LEN:
+            sp = self._pool_append(self._encode_word_host(wb, None))
+            self._word_cache[wb] = sp
+            res_start[g], res_len[g] = sp
+        elif seeds.shape[0] <= 1:
+            sp = self._pool_append(seeds.astype(np.int32))
+            self._word_cache[wb] = sp
+            res_start[g], res_len[g] = sp
+        else:
+            for b in BUCKETS:
+                if seeds.shape[0] <= b:
+                    new_ids[b].append((g, seeds))
+                    break
+
+    def _encode_core_pipelined(self, texts: list[str], timing, _time):
+        """Group-pipelined batch encode (default parser, no prefix).
+
+        Documents are split into ~GROUP_BYTES groups; each group's new
+        unique words are packed and launched asynchronously, so the
+        device merges group g while the host splits group g+1.  One sync
+        at the end collects all spans.
+        """
+        from .native import assemble, split_dedup_slices
+
+        t0 = _time.perf_counter()
+        enc = [t.encode("utf-8") for t in texts]
+        groups: list[tuple[int, int]] = []
+        lo = 0
+        acc = 0
+        for i, b in enumerate(enc):
+            acc += len(b)
+            if acc >= GROUP_BYTES:
+                groups.append((lo, i + 1))
+                lo = i + 1
+                acc = 0
+        if lo < len(texts):
+            groups.append((lo, len(texts)))
+
+        gid_of: dict[bytes, int] = {}
+        gwords: list[bytes] = []
+        cap = 1 << 15
+        res_start = np.full(cap, -1, dtype=np.int64)
+        res_len = np.zeros(cap, dtype=np.int64)
+        pending: list = []
+        group_refs: list[np.ndarray] = []
+        dwo_parts: list[np.ndarray] = [np.zeros(1, dtype=np.int64)]
+        words_so_far = 0
+        byte_fast = (
+            self.tables.is_byte_encoder and self.tables.byte_seed_ids is not None
+        )
+        cache_get = self._word_cache.get
+        bseed = self.tables.byte_seed_ids
+
+        for glo, ghi in groups:
+            blobs = enc[glo:ghi]
+            doc_off = np.zeros(ghi - glo + 1, dtype=np.int64)
             np.cumsum([len(b) for b in blobs], out=doc_off[1:])
             blob = b"".join(blobs)
             blob_np = (
@@ -313,37 +457,139 @@ class TpuTokenizer:
                 if blob
                 else np.zeros(1, np.uint8)
             )
-            native = split_dedup_slices(blob_np, doc_off)
-        else:
-            native = None
+            wr, dwo, uo, ul = split_dedup_slices(blob_np, doc_off)
+            n_u = len(uo)
+            lut = np.zeros(max(n_u, 1), dtype=np.int64)
+            new_byte: dict[int, list] = {b: [] for b in BUCKETS}
+            new_ids: dict[int, list] = {b: [] for b in BUCKETS}
+            uo_l = uo.tolist()
+            ul_l = ul.tolist()
+            for u in range(n_u):
+                o = uo_l[u]
+                wb = blob[o : o + ul_l[u]]
+                g = gid_of.get(wb)
+                if g is None:
+                    g = len(gwords)
+                    gid_of[wb] = g
+                    gwords.append(wb)
+                    if g >= cap:
+                        cap *= 2
+                        ns = np.full(cap, -1, dtype=np.int64)
+                        ns[:g] = res_start[:g]
+                        res_start = ns
+                        nl = np.zeros(cap, dtype=np.int64)
+                        nl[:g] = res_len[:g]
+                        res_len = nl
+                    span = cache_get(wb)
+                    if span is not None:
+                        res_start[g], res_len[g] = span
+                    elif byte_fast:
+                        n = len(wb)
+                        if n == 1:
+                            sp = self._pool_append([int(bseed[wb[0]])])
+                            self._word_cache[wb] = sp
+                            res_start[g], res_len[g] = sp
+                        elif n <= MAX_DEVICE_LEN:
+                            for b in BUCKETS:
+                                if n <= b:
+                                    new_byte[b].append((g, wb))
+                                    break
+                        else:
+                            sp = self._pool_append(self._encode_word_host(wb, None))
+                            self._word_cache[wb] = sp
+                            res_start[g], res_len[g] = sp
+                    else:
+                        self._resolve_generic(wb, g, new_ids, res_start, res_len)
+                lut[u] = g
+            group_refs.append(
+                lut[wr] if len(wr) else np.zeros(0, dtype=np.int64)
+            )
+            dwo_parts.append(dwo[1:] + words_so_far)
+            words_so_far += int(dwo[-1])
+            for b in BUCKETS:
+                self._launch_byte_words(b, new_byte[b], pending)
+                self._launch_id_words(b, new_ids[b], pending)
 
-        if native is not None:
-            wr_np, dwo_np, uo_np, ul_np = native
-            uword_list = [
-                (blob[int(o) : int(o) + int(l)], False)
-                for o, l in zip(uo_np, ul_np)
-            ]
-            all_refs = wr_np
-            dwo_arr = dwo_np
-            doc_prefix_run = [False] * len(texts)
+        if timing:
+            print(
+                f"[ht-timing] split+resolve+launch: {_time.perf_counter()-t0:.3f}s"
+            )
+            t0 = _time.perf_counter()
+
+        self._extract_pending(pending, res_start, res_len, lambda k: gwords[k])
+        if timing:
+            print(f"[ht-timing] sync+extract: {_time.perf_counter()-t0:.3f}s")
+            t0 = _time.perf_counter()
+
+        n_g = len(gwords)
+        all_refs = (
+            np.concatenate(group_refs)
+            if group_refs
+            else np.zeros(0, dtype=np.int64)
+        )
+        dwo_all = np.concatenate(dwo_parts)
+        doc_prefix_run = [False] * len(texts)
+        if all_refs.size == 0:
+            flat_tokens = np.zeros(0, dtype=np.int32)
+            doc_offs = np.zeros(len(texts) + 1, dtype=np.int64)
         else:
-            uword_list, all_refs, doc_ref_counts, doc_prefix_run = (
-                self._split_dedup_py(texts)
+            assembled = assemble(
+                all_refs.astype(np.int32),
+                dwo_all,
+                res_start[:n_g],
+                res_len[:n_g],
+                self._cache_pool,
             )
-            dwo_arr = np.concatenate(
-                ([0], np.cumsum(np.asarray(doc_ref_counts, dtype=np.int64)))
-            )
+            if assembled is not None:
+                flat_tokens, doc_offs = assembled
+            else:  # pragma: no cover - library vanished mid-run
+                flat_tokens, doc_offs = self._assemble_np(
+                    all_refs, dwo_all, res_start, res_len
+                )
+        if timing:
+            print(f"[ht-timing] assembly: {_time.perf_counter()-t0:.3f}s")
+        return flat_tokens, doc_offs, doc_prefix_run
+
+    def _assemble_np(self, all_refs, dwo_all, res_start, res_len):
+        """Vectorized numpy fallback of native assemble()."""
+        refs = all_refs.astype(np.int64)
+        rl = res_len[refs] if refs.size else np.zeros(0, dtype=np.int64)
+        rs = res_start[refs] if refs.size else np.zeros(0, dtype=np.int64)
+        total = int(rl.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(rl) - rl, rl
+        )
+        flat_tokens = (
+            self._cache_pool[np.repeat(rs, rl) + within]
+            if total
+            else np.zeros(0, dtype=np.int32)
+        )
+        ref_cum = np.concatenate(([0], np.cumsum(rl)))
+        doc_offs = ref_cum[dwo_all]
+        return flat_tokens, doc_offs
+
+    def _encode_core_py(self, texts: list[str], timing, _time):
+        """Whole-batch core for configurations the native splitter does
+        not cover (custom regex pattern, prefix gluing)."""
+        t_start = _time.perf_counter()
+
+        uword_list, all_refs, doc_ref_counts, doc_prefix_run = (
+            self._split_dedup_py(texts)
+        )
+        dwo_arr = np.concatenate(
+            ([0], np.cumsum(np.asarray(doc_ref_counts, dtype=np.int64)))
+        )
         if timing:
             print(f"[ht-timing] split+dedup: {_time.perf_counter()-t_start:.3f}s")
             t_start = _time.perf_counter()
 
-        # 3: resolve unique words: cache -> byte fast path -> generic
-        # device path -> host fallback.  Spans index into the flat pool.
+        # resolve unique words: cache -> byte fast path -> generic device
+        # path -> host fallback
         n_uniq = len(uword_list)
-        res_start = np.full(n_uniq, -1, dtype=np.int64)
-        res_len = np.zeros(n_uniq, dtype=np.int64)
-        byte_buckets: dict[int, list[int]] = {b: [] for b in BUCKETS}
-        id_buckets: dict[int, list[tuple[int, np.ndarray]]] = {b: [] for b in BUCKETS}
+        res_start = np.full(max(n_uniq, 1), -1, dtype=np.int64)
+        res_len = np.zeros(max(n_uniq, 1), dtype=np.int64)
+        new_byte: dict[int, list] = {b: [] for b in BUCKETS}
+        new_ids: dict[int, list] = {b: [] for b in BUCKETS}
         byte_fast = (
             self.tables.is_byte_encoder and self.tables.byte_seed_ids is not None
         )
@@ -356,156 +602,54 @@ class TpuTokenizer:
             if byte_fast and not glued:
                 n = len(wb)
                 if n == 1:
-                    span = self._pool_append([int(self.tables.byte_seed_ids[wb[0]])])
+                    span = self._pool_append(
+                        [int(self.tables.byte_seed_ids[wb[0]])]
+                    )
                     self._word_cache[wb] = span
                     res_start[idx], res_len[idx] = span
                     continue
                 if n <= MAX_DEVICE_LEN:
                     for b in BUCKETS:
                         if n <= b:
-                            byte_buckets[b].append(idx)
+                            new_byte[b].append((idx, wb))
                             break
                     continue
                 span = self._pool_append(self._encode_word_host(wb, None))
                 self._word_cache[wb] = span
                 res_start[idx], res_len[idx] = span
                 continue
-            seeds = self._seed_word(wb, glued)
-            if seeds is None or seeds.shape[0] > MAX_DEVICE_LEN:
+            if glued:
                 span = self._pool_append(
-                    self._encode_word_host(wb, self.ctx.prefix if glued else None)
+                    self._encode_word_host(wb, self.ctx.prefix)
                 )
-                if not glued:
-                    self._word_cache[wb] = span
                 res_start[idx], res_len[idx] = span
                 continue
-            if seeds.shape[0] <= 1:
-                span = self._pool_append(seeds.astype(np.int32))
-                if not glued:
-                    self._word_cache[wb] = span
-                res_start[idx], res_len[idx] = span
-                continue
-            for b in BUCKETS:
-                if seeds.shape[0] <= b:
-                    id_buckets[b].append((idx, seeds))
-                    break
+            self._resolve_generic(wb, idx, new_ids, res_start, res_len)
 
+        pending: list = []
+        for b in BUCKETS:
+            self._launch_byte_words(b, new_byte[b], pending)
+            self._launch_id_words(b, new_ids[b], pending)
         if timing:
-            print(f"[ht-timing]   resolve-loop: {_time.perf_counter()-t_start:.3f}s")
-            t_mid = _time.perf_counter()
-
-        # 4: device merges — all chunks issued asynchronously, one sync.
-        # Each launch returns the packed layout (counts + compacted
-        # tokens); the host downloads a prefix bounded by the chunk's
-        # seed count, so d2h bytes track real output size.
-        pending: list[tuple[object, str, list, int, int]] = []
-        for b, idxs in byte_buckets.items():
-            if not idxs:
-                continue
-            # sort by length: the merge loop runs max-merges-in-chunk
-            # rounds, so homogeneous chunks make short-word chunks cheap
-            idxs.sort(key=lambda i: len(uword_list[i][0]))
-            lens = np.array([len(uword_list[i][0]) for i in idxs], dtype=np.int32)
-            blob = b"".join(uword_list[i][0] for i in idxs)
-            flat = np.frombuffer(blob, dtype=np.uint8)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            lo = 0
-            while lo < len(idxs):
-                remaining = len(idxs) - lo
-                rows = HALF_ROWS[b] if remaining <= HALF_ROWS[b] else CHUNK_ROWS[b]
-                hi = min(lo + rows, len(idxs))
-                k = hi - lo
-                raw = np.zeros((rows, b), dtype=np.uint8)
-                cl = lens[lo:hi]
-                cs = starts[lo:hi]
-                # vectorized ragged pack: scatter all word bytes at once
-                pos_in_word = np.arange(int(cl.sum())) - np.repeat(
-                    np.cumsum(cl) - cl, cl
-                )
-                rows_idx = np.repeat(np.arange(k), cl)
-                raw[rows_idx, pos_in_word] = flat[
-                    np.repeat(cs, cl) + pos_in_word
-                ]
-                lens_pad = np.zeros(rows, dtype=np.int32)
-                lens_pad[:k] = cl
-                handle = self._merge_bytes_block(raw, lens_pad)
-                pending.append(
-                    (handle, "bytes", idxs[lo:hi], rows, int(cl.sum()))
-                )
-                lo = hi
-        for b, items in id_buckets.items():
-            if not items:
-                continue
-            items.sort(key=lambda t: t[1].shape[0])
-            lo = 0
-            while lo < len(items):
-                remaining = len(items) - lo
-                rows = HALF_ROWS[b] if remaining <= HALF_ROWS[b] else CHUNK_ROWS[b]
-                chunk = items[lo : lo + rows]
-                lo += rows
-                block = np.full((rows, b), -1, dtype=np.int32)
-                seed_sum = 0
-                for r, (_, seeds) in enumerate(chunk):
-                    block[r, : seeds.shape[0]] = seeds
-                    seed_sum += seeds.shape[0]
-                pending.append(
-                    (
-                        self._merge_block(block),
-                        "ids",
-                        [i for i, _ in chunk],
-                        rows,
-                        seed_sum,
-                    )
-                )
-
-        if timing:
-            print(f"[ht-timing]   pack+launch: {_time.perf_counter()-t_mid:.3f}s")
-            t_mid = _time.perf_counter()
-
-        from .ops.merge import slice_prefix
-
-        GRAN = 32768  # prefix-slice granularity bounds the compile set
-        for handle, kind, idxs, rows, tok_bound in pending:
-            k = len(idxs)
-            full = int(handle.shape[0])
-            need = min(-(-(rows + tok_bound) // GRAN) * GRAN, full)
-            sliced = np.asarray(
-                slice_prefix(handle, need) if need < full else handle
-            )
-            counts = sliced[:k].astype(np.int64)
-            total = int(counts.sum())
-            toks = sliced[rows : rows + total]
-            base = self._pool_append_flat(toks.astype(np.int32))
-            starts = base + np.concatenate(([0], np.cumsum(counts)[:-1]))
-            if timing:
-                print(f"[ht-timing]   sync+d2h: {_time.perf_counter()-t_mid:.3f}s")
-                t_mid = _time.perf_counter()
-            idx_arr = np.asarray(idxs, dtype=np.int64)
-            res_start[idx_arr] = starts
-            res_len[idx_arr] = counts
-            starts_l = starts.tolist()
-            counts_l = counts.tolist()
-            wcache = self._word_cache
-            for r, idx in enumerate(idxs):
-                wb, glued = uword_list[idx]
-                if not glued:
-                    wcache[wb] = (starts_l[r], counts_l[r])
-            if timing:
-                print(f"[ht-timing]   cache-spans: {_time.perf_counter()-t_mid:.3f}s")
-                t_mid = _time.perf_counter()
-
-        if timing:
-            print(f"[ht-timing] device+extract: {_time.perf_counter()-t_start:.3f}s")
+            print(f"[ht-timing] resolve+launch: {_time.perf_counter()-t_start:.3f}s")
             t_start = _time.perf_counter()
 
-        # 5: assembly straight from the pool — native span-gather when the
-        # library is present, vectorized numpy otherwise
+        def _word_for_key(key):
+            wb, glued = uword_list[key]
+            return None if glued else wb
+
+        self._extract_pending(pending, res_start, res_len, _word_for_key)
+        if timing:
+            print(f"[ht-timing] sync+extract: {_time.perf_counter()-t_start:.3f}s")
+            t_start = _time.perf_counter()
+
+        all_refs_arr = np.asarray(all_refs, dtype=np.int64)
         assembled = None
-        if self._native_split_ok and len(all_refs):
+        if self._native_split_ok and all_refs_arr.size:
             from .native import assemble
 
             assembled = assemble(
-                np.asarray(all_refs, dtype=np.int32),
+                all_refs_arr.astype(np.int32),
                 dwo_arr,
                 res_start,
                 res_len,
@@ -514,22 +658,9 @@ class TpuTokenizer:
         if assembled is not None:
             flat_tokens, doc_offs = assembled
         else:
-            refs = np.asarray(all_refs, dtype=np.int64)
-            rl = res_len[refs] if refs.size else np.zeros(0, dtype=np.int64)
-            rs = res_start[refs] if refs.size else np.zeros(0, dtype=np.int64)
-            total = int(rl.sum())
-            within = np.arange(total, dtype=np.int64) - np.repeat(
-                np.cumsum(rl) - rl, rl
+            flat_tokens, doc_offs = self._assemble_np(
+                all_refs_arr, dwo_arr, res_start, res_len
             )
-            flat_tokens = (
-                self._cache_pool[np.repeat(rs, rl) + within]
-                if total
-                else np.zeros(0, dtype=np.int32)
-            )
-            # per-doc token counts via segment-sum over the ref axis
-            ref_cum = np.concatenate(([0], np.cumsum(rl)))
-            doc_offs = ref_cum[dwo_arr]
-
         if timing:
             print(f"[ht-timing] assembly: {_time.perf_counter()-t_start:.3f}s")
         return flat_tokens, doc_offs, doc_prefix_run

@@ -121,7 +121,7 @@ def main() -> None:
     # warmup: one full prepass compiles exactly the shapes this corpus
     # needs (the tunneled compiler is slow, so avoid unused shapes)
     engine.encode_batch_arrays(docs)
-    engine._word_cache.clear()
+    engine.reset_cache()
 
     # headline: encode to (flat token ids, doc offsets) — the form a TPU
     # serving pipeline consumes.  List-of-lists outputs (reference API

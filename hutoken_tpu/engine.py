@@ -49,7 +49,7 @@ MAX_DEVICE_LEN = BUCKETS[-1]
 # instead of a huge padded block and (b) length-sorted homogeneous
 # blocks exit the merge fixed point early.  Launches are asynchronous
 # and synced once, so per-dispatch latency (~25 ms tunneled) amortizes.
-ROW_BLOCKS = {32: 8192, 128: 2048}
+ROW_BLOCKS = {32: 4096, 128: 1024}
 # documents are processed in byte-bounded groups; each group's device
 # blocks are in flight while the host splits the next group
 GROUP_BYTES = 2 << 20
@@ -114,6 +114,12 @@ class TpuTokenizer:
         self._word_cache: dict[bytes, tuple[int, int]] = {}
         self._cache_pool = np.zeros(1 << 16, dtype=np.int32)
         self._cache_used = 0
+        # pipelined path: persistent native word->gid interner; spans per
+        # gid live in flat arrays (the dict cache serves the non-native
+        # configurations only)
+        self._interner = None
+        self._gid_start = np.full(1 << 15, -1, dtype=np.int64)
+        self._gid_len = np.zeros(1 << 15, dtype=np.int64)
         self._prefix_run: Optional[list[int]] = None
         # byte-mode fast-path support arrays
         self._u16_out = self.tables.vocab_size < 0xFFFF
@@ -291,9 +297,7 @@ class TpuTokenizer:
 
         # bound the word-cache pool (reset is cheap and exact)
         if self._cache_used > (1 << 26):
-            self._word_cache.clear()
-            self._cache_pool = np.zeros(1 << 16, dtype=np.int32)
-            self._cache_used = 0
+            self.reset_cache()
 
         if (
             self.ctx.compiled_pattern is None
@@ -302,6 +306,19 @@ class TpuTokenizer:
         ):
             return self._encode_core_pipelined(texts, timing, _time)
         return self._encode_core_py(texts, timing, _time)
+
+    def reset_cache(self) -> None:
+        """Drop all memoized word tokenizations (pool, dict cache, and
+        the native interner).  Outputs are unchanged — the cache is a
+        pure speedup — so this only matters for memory bounds and cold
+        benchmarking."""
+        self._word_cache.clear()
+        self._cache_pool = np.zeros(1 << 16, dtype=np.int32)
+        self._cache_used = 0
+        if self._interner is not None:
+            self._interner.reset()
+        self._gid_start = np.full(1 << 15, -1, dtype=np.int64)
+        self._gid_len = np.zeros(1 << 15, dtype=np.int64)
 
     # ---------------- device launch/extract helpers (both core paths)
 
@@ -383,12 +400,13 @@ class TpuTokenizer:
             key_arr = np.asarray(keys, dtype=np.int64)
             res_start[key_arr] = starts
             res_len[key_arr] = counts
-            starts_l = starts.tolist()
-            counts_l = counts.tolist()
-            for r, key in enumerate(keys):
-                wb = word_for_key(key)
-                if wb is not None:
-                    wcache[wb] = (starts_l[r], counts_l[r])
+            if word_for_key is not None:
+                starts_l = starts.tolist()
+                counts_l = counts.tolist()
+                for r, key in enumerate(keys):
+                    wb = word_for_key(key)
+                    if wb is not None:
+                        wcache[wb] = (starts_l[r], counts_l[r])
 
     def _resolve_generic(self, wb, g, new_ids, res_start, res_len) -> None:
         """Non-byte-fast unique word: seed by elements, bucket for the
@@ -411,14 +429,19 @@ class TpuTokenizer:
     def _encode_core_pipelined(self, texts: list[str], timing, _time):
         """Group-pipelined batch encode (default parser, no prefix).
 
-        Documents are split into ~GROUP_BYTES groups; each group's new
-        unique words are packed and launched asynchronously, so the
-        device merges group g while the host splits group g+1.  One sync
-        at the end collects all spans.
+        Words are interned into a PERSISTENT native word->gid map; only
+        first-seen words are resolved (vectorized numpy over the new-gid
+        tail — no per-word Python in the hot path).  Each group's new
+        words pack into fixed-row device blocks launched asynchronously,
+        so the device merges group g while the host splits group g+1;
+        one bulk sync at the end collects all spans.
         """
-        from .native import assemble, split_dedup_slices
+        from .native import WordInterner, assemble
 
         t0 = _time.perf_counter()
+        if self._interner is None:
+            self._interner = WordInterner()
+        interner = self._interner
         enc = [t.encode("utf-8") for t in texts]
         groups: list[tuple[int, int]] = []
         lo = 0
@@ -432,11 +455,6 @@ class TpuTokenizer:
         if lo < len(texts):
             groups.append((lo, len(texts)))
 
-        gid_of: dict[bytes, int] = {}
-        gwords: list[bytes] = []
-        cap = 1 << 15
-        res_start = np.full(cap, -1, dtype=np.int64)
-        res_len = np.zeros(cap, dtype=np.int64)
         pending: list = []
         group_refs: list[np.ndarray] = []
         dwo_parts: list[np.ndarray] = [np.zeros(1, dtype=np.int64)]
@@ -444,10 +462,42 @@ class TpuTokenizer:
         byte_fast = (
             self.tables.is_byte_encoder and self.tables.byte_seed_ids is not None
         )
-        cache_get = self._word_cache.get
         bseed = self.tables.byte_seed_ids
+        # unresolved new words accumulate as packed matrices across
+        # groups; only FULL length-sorted blocks launch mid-stream, the
+        # remainder flushes once at the end
+        carry_byte: dict[int, list] = {b: [] for b in BUCKETS}
+        carry_ids: dict[int, list] = {b: [] for b in BUCKETS}
 
+        def flush(force: bool) -> None:
+            for b in BUCKETS:
+                rows = ROW_BLOCKS[b]
+                parts = carry_byte[b]
+                n_tot = sum(len(g) for g, _, _ in parts)
+                if parts and (n_tot >= rows or (force and n_tot)):
+                    gids = np.concatenate([g for g, _, _ in parts])
+                    raw = np.vstack([r for _, r, _ in parts])
+                    lens = np.concatenate([l for _, _, l in parts])
+                    order = np.argsort(lens, kind="stable")
+                    cut = n_tot if force else (n_tot // rows) * rows
+                    sel = order[:cut]
+                    self._launch_byte_blocks(
+                        b, gids[sel], raw[sel], lens[sel], pending
+                    )
+                    parts.clear()
+                    if cut < n_tot:
+                        rest = order[cut:]
+                        parts.append((gids[rest], raw[rest], lens[rest]))
+                items = carry_ids[b]
+                if items and (len(items) >= rows or force):
+                    items.sort(key=lambda t: t[1].shape[0])
+                    cut = len(items) if force else (len(items) // rows) * rows
+                    self._launch_id_words(b, items[:cut], pending)
+                    del items[:cut]
+
+        t_split = t_resolve = t_launch = 0.0
         for glo, ghi in groups:
+            tg = _time.perf_counter()
             blobs = enc[glo:ghi]
             doc_off = np.zeros(ghi - glo + 1, dtype=np.int64)
             np.cumsum([len(b) for b in blobs], out=doc_off[1:])
@@ -457,75 +507,88 @@ class TpuTokenizer:
                 if blob
                 else np.zeros(1, np.uint8)
             )
-            wr, dwo, uo, ul = split_dedup_slices(blob_np, doc_off)
-            n_u = len(uo)
-            lut = np.zeros(max(n_u, 1), dtype=np.int64)
-            new_byte: dict[int, list] = {b: [] for b in BUCKETS}
-            new_ids: dict[int, list] = {b: [] for b in BUCKETS}
-            uo_l = uo.tolist()
-            ul_l = ul.tolist()
-            for u in range(n_u):
-                o = uo_l[u]
-                wb = blob[o : o + ul_l[u]]
-                g = gid_of.get(wb)
-                if g is None:
-                    g = len(gwords)
-                    gid_of[wb] = g
-                    gwords.append(wb)
-                    if g >= cap:
-                        cap *= 2
-                        ns = np.full(cap, -1, dtype=np.int64)
-                        ns[:g] = res_start[:g]
-                        res_start = ns
-                        nl = np.zeros(cap, dtype=np.int64)
-                        nl[:g] = res_len[:g]
-                        res_len = nl
-                    span = cache_get(wb)
-                    if span is not None:
-                        res_start[g], res_len[g] = span
-                    elif byte_fast:
-                        n = len(wb)
-                        if n == 1:
-                            sp = self._pool_append([int(bseed[wb[0]])])
-                            self._word_cache[wb] = sp
-                            res_start[g], res_len[g] = sp
-                        elif n <= MAX_DEVICE_LEN:
-                            for b in BUCKETS:
-                                if n <= b:
-                                    new_byte[b].append((g, wb))
-                                    break
-                        else:
-                            sp = self._pool_append(self._encode_word_host(wb, None))
-                            self._word_cache[wb] = sp
-                            res_start[g], res_len[g] = sp
-                    else:
-                        self._resolve_generic(wb, g, new_ids, res_start, res_len)
-                lut[u] = g
-            group_refs.append(
-                lut[wr] if len(wr) else np.zeros(0, dtype=np.int64)
+            wg, dwo, new_off, new_len, prev = interner.split_intern(
+                blob_np, doc_off
             )
+            t_split += _time.perf_counter() - tg
+            tg = _time.perf_counter()
+
+            n_new = len(new_len)
+            self._ensure_gid_capacity(prev + n_new)
+            if n_new:
+                gids = np.arange(prev, prev + n_new, dtype=np.int64)
+                nl = new_len.astype(np.int64)
+                no = new_off
+                if byte_fast:
+                    m1 = nl == 1
+                    if m1.any():
+                        ids1 = bseed[blob_np[no[m1]]].astype(np.int32)
+                        base = self._pool_append_flat(ids1)
+                        g1 = gids[m1]
+                        self._gid_start[g1] = base + np.arange(
+                            len(ids1), dtype=np.int64
+                        )
+                        self._gid_len[g1] = 1
+                    lo_b = 1
+                    for b in BUCKETS:
+                        sel = np.flatnonzero((nl > lo_b) & (nl <= b))
+                        lo_b = b
+                        if not len(sel):
+                            continue
+                        ln = nl[sel]
+                        off = no[sel]
+                        k = len(sel)
+                        raw = np.zeros((k, b), dtype=np.uint8)
+                        tot = int(ln.sum())
+                        pos = np.arange(tot) - np.repeat(
+                            np.cumsum(ln) - ln, ln
+                        )
+                        rows_idx = np.repeat(np.arange(k), ln)
+                        raw[rows_idx, pos] = blob_np[np.repeat(off, ln) + pos]
+                        carry_byte[b].append((gids[sel], raw, ln))
+                    for i in np.flatnonzero(nl > MAX_DEVICE_LEN):  # rare
+                        wb = blob[no[i] : no[i] + nl[i]]
+                        sp = self._pool_append(self._encode_word_host(wb, None))
+                        self._gid_start[gids[i]] = sp[0]
+                        self._gid_len[gids[i]] = sp[1]
+                else:
+                    no_l = no.tolist()
+                    nl_l = new_len.tolist()
+                    for i in range(n_new):
+                        wb = blob[no_l[i] : no_l[i] + nl_l[i]]
+                        self._resolve_generic(
+                            wb, gids[i], carry_ids,
+                            self._gid_start, self._gid_len,
+                        )
+            group_refs.append(wg)
             dwo_parts.append(dwo[1:] + words_so_far)
             words_so_far += int(dwo[-1])
-            for b in BUCKETS:
-                self._launch_byte_words(b, new_byte[b], pending)
-                self._launch_id_words(b, new_ids[b], pending)
+            t_resolve += _time.perf_counter() - tg
+            tg = _time.perf_counter()
+            flush(False)
+            t_launch += _time.perf_counter() - tg
+        tg = _time.perf_counter()
+        flush(True)
+        t_launch += _time.perf_counter() - tg
 
         if timing:
             print(
                 f"[ht-timing] split+resolve+launch: {_time.perf_counter()-t0:.3f}s"
+                f" (split {t_split:.3f} resolve {t_resolve:.3f}"
+                f" launch {t_launch:.3f})"
             )
             t0 = _time.perf_counter()
 
-        self._extract_pending(pending, res_start, res_len, lambda k: gwords[k])
+        self._extract_pending(pending, self._gid_start, self._gid_len, None)
         if timing:
             print(f"[ht-timing] sync+extract: {_time.perf_counter()-t0:.3f}s")
             t0 = _time.perf_counter()
 
-        n_g = len(gwords)
+        n_g = interner.count()
         all_refs = (
             np.concatenate(group_refs)
             if group_refs
-            else np.zeros(0, dtype=np.int64)
+            else np.zeros(0, dtype=np.int32)
         )
         dwo_all = np.concatenate(dwo_parts)
         doc_prefix_run = [False] * len(texts)
@@ -534,21 +597,58 @@ class TpuTokenizer:
             doc_offs = np.zeros(len(texts) + 1, dtype=np.int64)
         else:
             assembled = assemble(
-                all_refs.astype(np.int32),
+                all_refs,
                 dwo_all,
-                res_start[:n_g],
-                res_len[:n_g],
+                self._gid_start[:n_g],
+                self._gid_len[:n_g],
                 self._cache_pool,
             )
             if assembled is not None:
                 flat_tokens, doc_offs = assembled
             else:  # pragma: no cover - library vanished mid-run
                 flat_tokens, doc_offs = self._assemble_np(
-                    all_refs, dwo_all, res_start, res_len
+                    all_refs.astype(np.int64), dwo_all,
+                    self._gid_start, self._gid_len,
                 )
         if timing:
             print(f"[ht-timing] assembly: {_time.perf_counter()-t0:.3f}s")
         return flat_tokens, doc_offs, doc_prefix_run
+
+    def _ensure_gid_capacity(self, n: int) -> None:
+        cap = self._gid_start.shape[0]
+        if n <= cap:
+            return
+        while cap < n:
+            cap *= 2
+        ns = np.full(cap, -1, dtype=np.int64)
+        ns[: self._gid_start.shape[0]] = self._gid_start
+        self._gid_start = ns
+        nl = np.zeros(cap, dtype=np.int64)
+        nl[: self._gid_len.shape[0]] = self._gid_len
+        self._gid_len = nl
+
+    def _launch_byte_blocks(
+        self, bucket: int, gids: np.ndarray, raw: np.ndarray,
+        lens: np.ndarray, pending: list,
+    ) -> None:
+        """Launch pre-packed, length-sorted byte rows as fixed-row blocks."""
+        rows = ROW_BLOCKS[bucket]
+        n = len(gids)
+        lo = 0
+        while lo < n:
+            hi = min(lo + rows, n)
+            k = hi - lo
+            block = raw[lo:hi]
+            if k < rows:
+                block = np.zeros((rows, bucket), dtype=np.uint8)
+                block[:k] = raw[lo:hi]
+            lens_pad = np.zeros(rows, dtype=np.int32)
+            lens_pad[:k] = lens[lo:hi]
+            handle = self._merge_bytes_block(block, lens_pad)
+            pending.append(
+                (handle, gids[lo:hi], rows, int(lens[lo:hi].sum()))
+            )
+            lo = hi
 
     def _assemble_np(self, all_refs, dwo_all, res_start, res_len):
         """Vectorized numpy fallback of native assemble()."""
@@ -669,7 +769,7 @@ class TpuTokenizer:
         """Compile the primary block shape (the tail bucket compiles
         lazily only when >32-lane words occur)."""
         b = BUCKETS[0]
-        rows = CHUNK_ROWS[b]
+        rows = ROW_BLOCKS[b]
         if self._byte_seed_dev is not None:
             raw = np.zeros((rows, b), dtype=np.uint8)
             lens = np.zeros(rows, dtype=np.int32)

@@ -93,6 +93,17 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
         ctypes.POINTER(_i64p), ctypes.POINTER(_i32p),
     ]
+    lib.ht_interner_create.restype = ctypes.c_void_p
+    lib.ht_interner_destroy.argtypes = [ctypes.c_void_p]
+    lib.ht_interner_count.restype = ctypes.c_int64
+    lib.ht_interner_count.argtypes = [ctypes.c_void_p]
+    lib.ht_interner_reset.argtypes = [ctypes.c_void_p]
+    lib.ht_split_intern.restype = ctypes.c_int64
+    lib.ht_split_intern.argtypes = [
+        ctypes.c_void_p, _u8p, _i64p, ctypes.c_int64,
+        ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
+        ctypes.POINTER(_i64p), ctypes.POINTER(_i32p),
+    ]
     lib.ht_assemble.restype = ctypes.c_int64
     lib.ht_assemble.argtypes = [
         _i32p, ctypes.c_int64, _i64p, ctypes.c_int64,
@@ -135,6 +146,65 @@ def split_dedup_slices(blob: np.ndarray, doc_offsets: np.ndarray):
     lib.ht_free_i64(uo)
     lib.ht_free_i32(ul)
     return wr_np, dwo_np, uo_np, ul_np
+
+
+class WordInterner:
+    """Persistent word -> dense-gid map (native).  Gids are stable across
+    calls, so a batch engine resolves each distinct word once per
+    process instead of once per batch."""
+
+    def __init__(self) -> None:
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native host library unavailable")
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.ht_interner_create())
+
+    def __del__(self):  # pragma: no cover
+        try:
+            if getattr(self, "_h", None):
+                self._lib.ht_interner_destroy(self._h)
+        except Exception:
+            pass
+
+    def count(self) -> int:
+        return int(self._lib.ht_interner_count(self._h))
+
+    def reset(self) -> None:
+        self._lib.ht_interner_reset(self._h)
+
+    def split_intern(self, blob: np.ndarray, doc_offsets: np.ndarray):
+        """Split + intern a document blob.
+
+        Returns (word_gids int32, doc_word_offsets int64, new_offsets
+        int64, new_lens int32, prev_count): words first seen in this call
+        are gids [prev_count, prev_count + len(new_lens)), with first
+        occurrences at blob[new_offsets[i] : +new_lens[i]].
+        """
+        lib = self._lib
+        n_docs = len(doc_offsets) - 1
+        wg = _i32p()
+        dwo = _i64p()
+        no = _i64p()
+        nl = _i32p()
+        prev = lib.ht_split_intern(
+            self._h, _np_u8p(blob), _np_i64p(doc_offsets), n_docs,
+            ctypes.byref(wg), ctypes.byref(dwo),
+            ctypes.byref(no), ctypes.byref(nl),
+        )
+        n_new = self.count() - prev
+        dwo_np = np.ctypeslib.as_array(dwo, shape=(n_docs + 1,)).copy()
+        total_words = int(dwo_np[-1])
+        wg_np = np.ctypeslib.as_array(wg, shape=(max(total_words, 1),))[
+            :total_words
+        ].copy()
+        no_np = np.ctypeslib.as_array(no, shape=(max(n_new, 1),))[:n_new].copy()
+        nl_np = np.ctypeslib.as_array(nl, shape=(max(n_new, 1),))[:n_new].copy()
+        lib.ht_free_i32(wg)
+        lib.ht_free_i64(dwo)
+        lib.ht_free_i64(no)
+        lib.ht_free_i32(nl)
+        return wg_np, dwo_np, no_np, nl_np, int(prev)
 
 
 def assemble(

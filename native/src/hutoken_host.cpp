@@ -1025,6 +1025,67 @@ int64_t ht_split_dedup_slices(const uint8_t* text, const int64_t* doc_offsets,
   return n_uniq;
 }
 
+// ------------------------------------------------ persistent interner
+//
+// Word -> dense gid map that survives across batch calls, so the engine
+// resolves only words it has never seen (the reference recomputes every
+// word every time; interning is a pure speedup with identical output).
+// Unique word bytes are copied into an owned pool (caller blobs die
+// between calls).
+
+struct Interner {
+  struct Slot {
+    uint64_t hash = 0;
+    int64_t gid = -1;
+  };
+  std::vector<uint8_t> pool;
+  std::vector<int64_t> poff;  // gid -> pool offset
+  std::vector<int32_t> plen;  // gid -> length
+  std::vector<Slot> slots = std::vector<Slot>(1 << 12);
+  uint64_t mask = (1 << 12) - 1;
+
+  int64_t count() const { return int64_t(poff.size()); }
+
+  void reset() {
+    pool.clear();
+    poff.clear();
+    plen.clear();
+    slots.assign(1 << 12, Slot{});
+    mask = (1 << 12) - 1;
+  }
+
+  int64_t intern(const uint8_t* p, int32_t len, uint64_t h) {
+    size_t i = h & mask;
+    while (slots[i].gid >= 0) {
+      const Slot& s = slots[i];
+      if (s.hash == h && plen[size_t(s.gid)] == len &&
+          std::memcmp(pool.data() + poff[size_t(s.gid)], p, size_t(len)) == 0)
+        return s.gid;
+      i = (i + 1) & mask;
+    }
+    int64_t gid = count();
+    slots[i] = Slot{h, gid};
+    poff.push_back(int64_t(pool.size()));
+    plen.push_back(len);
+    pool.insert(pool.end(), p, p + len);
+    if (size_t(count()) * 2 >= slots.size()) grow();
+    return gid;
+  }
+
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, Slot{});
+    mask = slots.size() - 1;
+    for (auto& s : old) {
+      if (s.gid < 0) continue;
+      size_t i = s.hash & mask;
+      while (slots[i].gid >= 0) i = (i + 1) & mask;
+      slots[i] = s;
+    }
+  }
+};
+
 // Assemble per-document token streams from unique-word spans: for each
 // doc-word reference, copy its span out of the token pool.  Replaces the
 // engine's numpy gather assembly (the per-byte cost there is index
@@ -1090,6 +1151,160 @@ int64_t ht_assemble(const int32_t* word_ref, int64_t total_words,
   *out_tokens = toks;
   *out_doc_offsets = doc_off;
   return total_tokens;
+}
+
+Interner* ht_interner_create() { return new Interner(); }
+void ht_interner_destroy(Interner* it) { delete it; }
+int64_t ht_interner_count(Interner* it) { return it->count(); }
+void ht_interner_reset(Interner* it) { it->reset(); }
+
+// Split + intern against the persistent map.  Like ht_split_dedup_slices
+// but word refs are GLOBAL gids stable across calls; only first-seen
+// words are reported back (as [prev_count, new_count) with their first
+// occurrence offsets into the caller's text).  Returns prev_count, or -1
+// on error; new_count = ht_interner_count afterwards.
+int64_t ht_split_intern(Interner* interner, const uint8_t* text,
+                        const int64_t* doc_offsets, int64_t n_docs,
+                        int32_t** out_word_gids,         // per doc-word
+                        int64_t** out_doc_word_offsets,  // n_docs+1
+                        int64_t** out_new_offsets,       // [new-prev]
+                        int32_t** out_new_lens) {        // [new-prev]
+  int n_threads = std::min<int>(
+      std::max(1u, std::thread::hardware_concurrency()), 4);
+  struct USlot { uint64_t hash; int64_t off = -1; int32_t len; int32_t idx; };
+  struct Local {
+    std::vector<USlot> slots = std::vector<USlot>(1 << 12);
+    uint64_t mask = (1 << 12) - 1;
+    size_t count = 0;
+    std::vector<int64_t> uoff;
+    std::vector<int32_t> ulen;
+    std::vector<uint64_t> uhash;
+
+    int32_t intern(const uint8_t* text, int64_t abs_off, int32_t len,
+                   uint64_t h) {
+      size_t i = h & mask;
+      while (slots[i].off >= 0) {
+        if (slots[i].hash == h && slots[i].len == len &&
+            std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) == 0)
+          return slots[i].idx;
+        i = (i + 1) & mask;
+      }
+      int32_t id = int32_t(count);
+      slots[i] = USlot{h, abs_off, len, id};
+      uoff.push_back(abs_off);
+      ulen.push_back(len);
+      uhash.push_back(h);
+      if (++count * 2 >= slots.size()) grow();
+      return id;
+    }
+    void grow() {
+      std::vector<USlot> old;
+      old.swap(slots);
+      slots.assign(old.size() * 2, USlot{});
+      mask = slots.size() - 1;
+      for (auto& s : old) {
+        if (s.off < 0) continue;
+        size_t i = s.hash & mask;
+        while (slots[i].off >= 0) i = (i + 1) & mask;
+        slots[i] = s;
+      }
+    }
+  };
+  std::vector<Local> locals{size_t(n_threads)};
+  std::vector<std::vector<int32_t>> doc_refs(static_cast<size_t>(n_docs));
+  std::vector<uint8_t> doc_owner(
+      static_cast<size_t>(std::max<int64_t>(n_docs, 1)));
+  {
+    std::atomic<int64_t> next(0);
+    auto worker = [&](int t) {
+      Local& loc = locals[size_t(t)];
+      std::vector<std::pair<int64_t, int64_t>> words;
+      while (true) {
+        int64_t d = next.fetch_add(1);
+        if (d >= n_docs) break;
+        doc_owner[size_t(d)] = uint8_t(t);
+        const uint8_t* doc = text + doc_offsets[d];
+        size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
+        words.clear();
+        split_words(doc, dn, words);
+        auto& refs = doc_refs[size_t(d)];
+        refs.reserve(words.size());
+        for (auto& [sp, ep] : words) {
+          if (ep <= sp) continue;
+          int32_t len = int32_t(ep - sp);
+          uint64_t h = hash_bytes(doc + sp, size_t(len));
+          refs.push_back(loc.intern(text, doc_offsets[d] + sp, len, h));
+        }
+      }
+    };
+    if (n_threads == 1) {
+      worker(0);
+    } else {
+      std::vector<std::thread> pool;
+      for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
+      worker(0);
+      for (auto& th : pool) th.join();
+    }
+  }
+
+  // serial merge of the local unique sets into the PERSISTENT map
+  int64_t prev_count = interner->count();
+  std::vector<int64_t> new_off;
+  std::vector<int32_t> new_len;
+  std::vector<std::vector<int32_t>> remap{size_t(n_threads)};
+  for (int t = 0; t < n_threads; ++t) {
+    Local& loc = locals[size_t(t)];
+    remap[size_t(t)].resize(loc.count);
+    for (size_t u = 0; u < loc.count; ++u) {
+      int64_t before = interner->count();
+      int64_t gid = interner->intern(text + loc.uoff[u], loc.ulen[u],
+                                     loc.uhash[u]);
+      if (gid == before) {  // first-ever sighting
+        new_off.push_back(loc.uoff[u]);
+        new_len.push_back(loc.ulen[u]);
+      }
+      remap[size_t(t)][u] = int32_t(gid);
+    }
+  }
+
+  std::vector<int64_t> dwo(size_t(n_docs) + 1, 0);
+  for (int64_t d = 0; d < n_docs; ++d)
+    dwo[size_t(d) + 1] = dwo[size_t(d)] + int64_t(doc_refs[size_t(d)].size());
+  int64_t total_words = dwo[size_t(n_docs)];
+  auto* word_gids = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * std::max<int64_t>(total_words, 1)));
+  {
+    std::atomic<int64_t> next(0);
+    auto remap_worker = [&]() {
+      while (true) {
+        int64_t d = next.fetch_add(1);
+        if (d >= n_docs) break;
+        const auto& rm = remap[doc_owner[size_t(d)]];
+        const auto& refs = doc_refs[size_t(d)];
+        int32_t* dst = word_gids + dwo[size_t(d)];
+        for (size_t i = 0; i < refs.size(); ++i) dst[i] = rm[size_t(refs[i])];
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; ++t) pool.emplace_back(remap_worker);
+    remap_worker();
+    for (auto& th : pool) th.join();
+  }
+
+  auto* dwo_out = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * (size_t(n_docs) + 1)));
+  std::memcpy(dwo_out, dwo.data(), (size_t(n_docs) + 1) * sizeof(int64_t));
+  auto* no_out = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * std::max<size_t>(new_off.size(), 1)));
+  std::memcpy(no_out, new_off.data(), new_off.size() * sizeof(int64_t));
+  auto* nl_out = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * std::max<size_t>(new_len.size(), 1)));
+  std::memcpy(nl_out, new_len.data(), new_len.size() * sizeof(int32_t));
+  *out_word_gids = word_gids;
+  *out_doc_word_offsets = dwo_out;
+  *out_new_offsets = no_out;
+  *out_new_lens = nl_out;
+  return prev_count;
 }
 
 void ht_free_i32(int32_t* p) { free(p); }

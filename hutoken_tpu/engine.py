@@ -373,23 +373,38 @@ class TpuTokenizer:
                 (self._merge_block(block), [k for k, _ in chunk], rows, seed_sum)
             )
 
-    def _extract_pending(self, pending, res_start, res_len, word_for_key) -> None:
-        """Sync + download each launch's packed prefix (counts, then the
-        row-major compacted tokens); fill spans and the word cache."""
+    def _slice_packed(self, handle, rows: int, tok_bound: int):
+        """Prefix view of a packed output covering counts + all real
+        tokens, rounded to a coarse granularity (each distinct slice
+        shape is its own tiny executable; coarse rounding bounds the
+        compile set AND the per-executable tunnel dispatch cost)."""
         from .ops.merge import slice_prefix
 
-        GRAN = 32768  # prefix-slice granularity bounds the compile set
-        wcache = self._word_cache
-        sliced_handles = []
-        for handle, keys, rows, tok_bound in pending:
-            full = int(handle.shape[0])
-            need = min(-(-(rows + tok_bound) // GRAN) * GRAN, full)
-            sliced_handles.append(
-                slice_prefix(handle, need) if need < full else handle
+        GRAN = 32768
+        full = int(handle.shape[0])
+        need = min(-(-(rows + tok_bound) // GRAN) * GRAN, full)
+        return slice_prefix(handle, need) if need < full else handle
+
+    def _extract_pending(
+        self, pending, res_start, res_len, word_for_key, results=None
+    ) -> None:
+        """Sync + download each launch's packed prefix (counts, then the
+        row-major compacted tokens); fill spans and the word cache.
+        ``results`` carries transfers already prefetched by the drainer
+        thread; otherwise one bulk device_get collects everything."""
+        import os as _os
+        import time as _t
+        _timing = _os.environ.get("HUTOKEN_TPU_TIMING") == "1"
+        _tw = _t.perf_counter()
+        if results is not None:
+            outs = [results[i] for i in range(len(pending))]
+        else:
+            outs = self._jax.device_get(
+                [self._slice_packed(h, rows, tb) for h, _, rows, tb in pending]
             )
-        # one bulk fetch: all transfers issued together instead of one
-        # blocking round trip per block (the tunnel costs ~25 ms each)
-        outs = self._jax.device_get(sliced_handles)
+        if _timing:
+            print(f"[ht-timing]   device_get wait: {_t.perf_counter()-_tw:.3f}s")
+        wcache = self._word_cache
         for (handle, keys, rows, tok_bound), sliced in zip(pending, outs):
             k = len(keys)
             counts = sliced[:k].astype(np.int64)
@@ -480,13 +495,17 @@ class TpuTokenizer:
                     lens = np.concatenate([l for _, _, l in parts])
                     order = np.argsort(lens, kind="stable")
                     cut = n_tot if force else (n_tot // rows) * rows
-                    sel = order[:cut]
+                    # mid-stream blocks take the LONGEST words: their
+                    # merge loops run the most rounds, so they get the
+                    # head start; the end-of-batch tail block is then
+                    # the cheapest (shortest words, fewest rounds)
+                    sel = order[n_tot - cut :]
                     self._launch_byte_blocks(
                         b, gids[sel], raw[sel], lens[sel], pending
                     )
                     parts.clear()
                     if cut < n_tot:
-                        rest = order[cut:]
+                        rest = order[: n_tot - cut]
                         parts.append((gids[rest], raw[rest], lens[rest]))
                 items = carry_ids[b]
                 if items and (len(items) >= rows or force):
@@ -495,18 +514,23 @@ class TpuTokenizer:
                     self._launch_id_words(b, items[:cut], pending)
                     del items[:cut]
 
+        all_blob = b"".join(enc)
+        all_off = np.zeros(len(enc) + 1, dtype=np.int64)
+        if enc:
+            np.cumsum([len(b) for b in enc], out=all_off[1:])
+        all_np = (
+            np.frombuffer(all_blob, dtype=np.uint8)
+            if all_blob
+            else np.zeros(1, np.uint8)
+        )
+
         t_split = t_resolve = t_launch = 0.0
         for glo, ghi in groups:
             tg = _time.perf_counter()
-            blobs = enc[glo:ghi]
-            doc_off = np.zeros(ghi - glo + 1, dtype=np.int64)
-            np.cumsum([len(b) for b in blobs], out=doc_off[1:])
-            blob = b"".join(blobs)
-            blob_np = (
-                np.frombuffer(blob, dtype=np.uint8)
-                if blob
-                else np.zeros(1, np.uint8)
-            )
+            g_base = int(all_off[glo])
+            doc_off = all_off[glo : ghi + 1] - g_base
+            blob_np = all_np[g_base:] if g_base else all_np
+            blob = all_blob  # group offsets below are blob_np-relative
             wg, dwo, new_off, new_len, prev = interner.split_intern(
                 blob_np, doc_off
             )
@@ -547,12 +571,12 @@ class TpuTokenizer:
                         raw[rows_idx, pos] = blob_np[np.repeat(off, ln) + pos]
                         carry_byte[b].append((gids[sel], raw, ln))
                     for i in np.flatnonzero(nl > MAX_DEVICE_LEN):  # rare
-                        wb = blob[no[i] : no[i] + nl[i]]
+                        wb = blob[g_base + no[i] : g_base + no[i] + nl[i]]
                         sp = self._pool_append(self._encode_word_host(wb, None))
                         self._gid_start[gids[i]] = sp[0]
                         self._gid_len[gids[i]] = sp[1]
                 else:
-                    no_l = no.tolist()
+                    no_l = (no + g_base).tolist()
                     nl_l = new_len.tolist()
                     for i in range(n_new):
                         wb = blob[no_l[i] : no_l[i] + nl_l[i]]

@@ -107,6 +107,31 @@ class TpuTokenizer:
             pt.capacity - 1,
             use_onehot,
         )
+        # big-vocab string path: the R-matrix kernel (ops/rmatrix.py)
+        # replaces per-round table probes with one sort-merge join; the
+        # one-hot probe kernel stays the fast path for small tables
+        import os as _os
+
+        self._substr_arrays = None
+        self._substr_dcap = 0
+        if self.tables.is_byte_encoder and not self.tables.uses_merges:
+            force = _os.environ.get("HUTOKEN_TPU_FORCE_RMATRIX") == "1"
+            if force or not use_onehot:
+                from .tables import build_substr_table
+
+                st = build_substr_table(ctx)
+                if st is not None:
+                    self._substr_arrays = (
+                        jnp.asarray(st.sh1),
+                        jnp.asarray(st.sh2),
+                        jnp.asarray(st.stid),
+                        jnp.asarray(st.b_ehash1),
+                        jnp.asarray(st.b_pmul1),
+                        jnp.asarray(st.b_ehash2),
+                        jnp.asarray(st.b_pmul2),
+                        st.probe_len,
+                    )
+                    self._substr_dcap = st.d_cap
         # per-word tokenization cache (exactness-preserving; the reference
         # recomputes every time, caching is a pure speedup).  Token lists
         # live in one flat pool; the dict maps word -> (start, len) so
@@ -348,7 +373,9 @@ class TpuTokenizer:
             raw[rows_idx, pos_in_word] = flat[np.repeat(cs, cl) + pos_in_word]
             lens_pad = np.zeros(rows, dtype=np.int32)
             lens_pad[:k] = cl
-            handle = self._merge_bytes_block(raw, lens_pad)
+            handle = self._merge_bytes_block(
+                raw, lens_pad, int(cl.max(initial=1))
+            )
             pending.append(
                 (handle, [key for key, _ in items[lo:hi]], rows, int(cl.sum()))
             )
@@ -668,7 +695,9 @@ class TpuTokenizer:
                 block[:k] = raw[lo:hi]
             lens_pad = np.zeros(rows, dtype=np.int32)
             lens_pad[:k] = lens[lo:hi]
-            handle = self._merge_bytes_block(block, lens_pad)
+            handle = self._merge_bytes_block(
+                block, lens_pad, int(lens[lo:hi].max(initial=1))
+            )
             pending.append(
                 (handle, gids[lo:hi], rows, int(lens[lo:hi].sum()))
             )
@@ -810,7 +839,26 @@ class TpuTokenizer:
             self.table_arrays, self._jnp.asarray(block), False
         )
 
-    def _merge_bytes_block(self, raw: np.ndarray, lens: np.ndarray):
+    def _merge_bytes_block(
+        self, raw: np.ndarray, lens: np.ndarray, max_len: int = 0
+    ):
+        if self._substr_arrays is not None:
+            from .ops.rmatrix import merge_words_from_bytes_rmatrix
+
+            L = raw.shape[1]
+            D = 8  # round the span-length dimension to bound the shape set
+            target = max(1, max_len or L)
+            while D < target and D < L:
+                D *= 2
+            D = min(D, L)
+            return merge_words_from_bytes_rmatrix(
+                self._substr_arrays,
+                self._byte_seed_dev,
+                self._jnp.asarray(raw),
+                self._jnp.asarray(lens),
+                D,
+                self._u16_out,
+            )
         from .ops.merge import merge_words_from_bytes_packed
 
         return merge_words_from_bytes_packed(

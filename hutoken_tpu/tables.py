@@ -153,6 +153,140 @@ def merges_pairs(ctx: TokenizerContext) -> dict[tuple[int, int], tuple[int, int]
     return dict(ctx.merges.rules)
 
 
+# polynomial-hash constants for the substring (R-matrix) tables; the
+# device rolling hash must reproduce these exactly (uint32 wraparound)
+P1 = np.uint32(1000003)
+P2 = np.uint32(0x85EBCA77)
+
+
+def _spelling_hashes(s: bytes) -> tuple[int, int]:
+    """Double 32-bit polynomial hash of a byte string: h = h*P + b + 1."""
+    h1 = np.uint32(0)
+    h2 = np.uint32(0)
+    with np.errstate(over="ignore"):
+        for b in s:
+            h1 = h1 * P1 + np.uint32(b + 1)
+            h2 = h2 * P2 + np.uint32(b + 1)
+    return int(h1), int(h2)
+
+
+@dataclass
+class SubstrTable:
+    """Spelling-hash -> token-id table for the lookup-free (R-matrix)
+    string-path kernel: a span of elements merges to the vocab id of its
+    concatenated spelling (src/core.c:700-722), so EVERY rank the merge
+    loop can need is the id of a substring of the word.  The device
+    computes double rolling hashes of all spans once and resolves them
+    with the same bounded open-addressed probe as the pair table (a
+    sort-merge join was tried first and was exact, but the 5-operand
+    ``lax.sort`` program takes minutes to compile on the remote
+    compiler, which this environment pays on every fresh process).
+
+    Slot layout: ``sh1/sh2`` hold the double hashes (empty = (0,0);
+    build rejects any real token hashing to (0,0)), ``stid`` the token
+    id (-1 in empty slots).  Slot index = ``_mix_hash(h1, h2) & mask``,
+    linear probing bounded by ``probe_len``.
+    """
+
+    sh1: np.ndarray  # int32 [C], (0,0) key = empty
+    sh2: np.ndarray  # int32 [C]
+    stid: np.ndarray  # int32 [C], -1 = empty
+    probe_len: int  # max displacement + 1
+    d_cap: int  # max token spelled length (spans longer can't be tokens)
+    # per-raw-byte element hash composition (byte-encoder path): element
+    # e appends to a rolling hash as h' = h * pmul[e] + ehash[e]
+    b_ehash1: Optional[np.ndarray]  # int32 [256]
+    b_pmul1: Optional[np.ndarray]
+    b_ehash2: Optional[np.ndarray]
+    b_pmul2: Optional[np.ndarray]
+
+    @property
+    def capacity(self) -> int:
+        return int(self.sh1.shape[0])
+
+
+def build_substr_table(
+    ctx: TokenizerContext, max_probe_len: int = 4
+) -> Optional[SubstrTable]:
+    """Build the substring table (string path only; merges-path ranks are
+    not substring ids).  Returns None if the double hash collides on the
+    vocab (astronomically unlikely) or the config lacks a byte encoder."""
+    if ctx.merges is not None or not ctx.is_byte_encoder:
+        return None
+    str2id = ctx.vocab.str2id
+    seen: dict[tuple[int, int], int] = {}
+    d_cap = 1
+    for token, tid in str2id.items():
+        k = _spelling_hashes(token)
+        if k == (0, 0) or k in seen:
+            return None  # collision: fall back to the probe kernel
+        seen[k] = tid
+        d_cap = max(d_cap, len(token))
+
+    # open-addressed insert, grown until the probe chain is short
+    # (same policy as build_pair_table)
+    n = max(len(seen), 1)
+    cap = 1
+    while cap < 2 * n:
+        cap *= 2
+    while True:
+        sh1 = np.zeros(cap, dtype=np.uint32)
+        sh2 = np.zeros(cap, dtype=np.uint32)
+        stid = np.full(cap, -1, dtype=np.int32)
+        mask = cap - 1
+        max_disp = 0
+        ok = True
+        for (h1, h2), tid in seen.items():
+            s = int(_mix_hash(np.uint32(h1), np.uint32(h2))) & mask
+            disp = 0
+            while stid[s] != -1:
+                s = (s + 1) & mask
+                disp += 1
+                if disp > 64:
+                    ok = False
+                    break
+            if not ok:
+                break
+            sh1[s] = h1
+            sh2[s] = h2
+            stid[s] = tid
+            max_disp = max(max_disp, disp)
+        if ok and max_disp + 1 > max_probe_len and cap < (1 << 24):
+            ok = False  # too much clustering: grow for shorter probes
+        if ok:
+            break
+        cap *= 2
+    b_eh1 = np.zeros(256, dtype=np.int64)
+    b_pm1 = np.zeros(256, dtype=np.int64)
+    b_eh2 = np.zeros(256, dtype=np.int64)
+    b_pm2 = np.zeros(256, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for b in range(256):
+            spelled = encode_remap(bytes([b]), ctx.special_chars, None, True)
+            e1, e2 = _spelling_hashes(spelled)
+            b_eh1[b] = e1
+            b_eh2[b] = e2
+            p1 = np.uint32(1)
+            p2 = np.uint32(1)
+            for _ in spelled:
+                p1 *= P1
+                p2 *= P2
+            b_pm1[b] = int(p1)
+            b_pm2[b] = int(p2)
+
+    return SubstrTable(
+        sh1=sh1.view(np.int32),
+        sh2=sh2.view(np.int32),
+        stid=stid,
+        probe_len=max_disp + 1,
+        d_cap=d_cap,
+        b_ehash1=np.array(b_eh1 & 0xFFFFFFFF, dtype=np.uint32).view(np.int32),
+        b_pmul1=np.array(b_pm1 & 0xFFFFFFFF, dtype=np.uint32).view(np.int32),
+        b_ehash2=np.array(b_eh2 & 0xFFFFFFFF, dtype=np.uint32).view(np.int32),
+        b_pmul2=np.array(b_pm2 & 0xFFFFFFFF, dtype=np.uint32).view(np.int32),
+    )
+
+
 @dataclass
 class EncoderTables:
     pair_table: PairTable

@@ -376,8 +376,9 @@ class TpuTokenizer:
             handle = self._merge_bytes_block(
                 raw, lens_pad, int(cl.max(initial=1))
             )
-            pending.append(
-                (handle, [key for key, _ in items[lo:hi]], rows, int(cl.sum()))
+            self._stage_launch(
+                handle, [key for key, _ in items[lo:hi]], rows,
+                int(cl.sum()), pending,
             )
             lo = hi
 
@@ -396,9 +397,22 @@ class TpuTokenizer:
             for r, (_, seeds) in enumerate(chunk):
                 block[r, : seeds.shape[0]] = seeds
                 seed_sum += seeds.shape[0]
-            pending.append(
-                (self._merge_block(block), [k for k, _ in chunk], rows, seed_sum)
+            self._stage_launch(
+                self._merge_block(block), [k for k, _ in chunk], rows,
+                seed_sum, pending,
             )
+
+    def _stage_launch(self, handle, keys, rows: int, tok_bound: int,
+                      pending: list) -> None:
+        """Slice a launched block to its packed prefix and start its
+        device->host transfer immediately, so by extraction time the
+        bytes are already on the host (or in flight)."""
+        sliced = self._slice_packed(handle, rows, tok_bound)
+        try:
+            sliced.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without async copy
+            pass
+        pending.append((sliced, keys, rows, tok_bound))
 
     def _slice_packed(self, handle, rows: int, tok_bound: int):
         """Prefix view of a packed output covering counts + all real
@@ -426,9 +440,8 @@ class TpuTokenizer:
         if results is not None:
             outs = [results[i] for i in range(len(pending))]
         else:
-            outs = self._jax.device_get(
-                [self._slice_packed(h, rows, tb) for h, _, rows, tb in pending]
-            )
+            # entries are pre-sliced with transfers already in flight
+            outs = self._jax.device_get([h for h, _, _, _ in pending])
         if _timing:
             print(f"[ht-timing]   device_get wait: {_t.perf_counter()-_tw:.3f}s")
         wcache = self._word_cache
@@ -484,16 +497,36 @@ class TpuTokenizer:
         if self._interner is None:
             self._interner = WordInterner()
         interner = self._interner
-        enc = [t.encode("utf-8") for t in texts]
-        groups: list[tuple[int, int]] = []
+        # one-pass corpus prep: ASCII docs (the overwhelmingly common
+        # case — str.isascii() is O(1) on CPython compact strings) join
+        # in str space and encode once; byte lengths equal char lengths
+        if texts and all(t.isascii() for t in texts):
+            doc_lens = np.fromiter(
+                map(len, texts), dtype=np.int64, count=len(texts)
+            )
+            all_blob = "".join(texts).encode("utf-8")
+        else:
+            enc = [t.encode("utf-8") for t in texts]
+            doc_lens = np.fromiter(
+                map(len, enc), dtype=np.int64, count=len(enc)
+            )
+            all_blob = b"".join(enc)
+        all_off = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(doc_lens, out=all_off[1:])
+        # group boundaries: first doc whose end crosses each GROUP_BYTES
+        # multiple (byte-bounded groups pipeline host split vs device)
+        n_groups = max(1, -(-int(all_off[-1]) // GROUP_BYTES))
+        cuts = np.searchsorted(
+            all_off[1:],
+            np.arange(1, n_groups + 1, dtype=np.int64) * GROUP_BYTES,
+        )
+        cuts = np.minimum(cuts + 1, len(texts))
+        groups = []
         lo = 0
-        acc = 0
-        for i, b in enumerate(enc):
-            acc += len(b)
-            if acc >= GROUP_BYTES:
-                groups.append((lo, i + 1))
-                lo = i + 1
-                acc = 0
+        for hi in np.unique(cuts):
+            if hi > lo:
+                groups.append((lo, int(hi)))
+                lo = int(hi)
         if lo < len(texts):
             groups.append((lo, len(texts)))
 
@@ -506,10 +539,13 @@ class TpuTokenizer:
         )
         bseed = self.tables.byte_seed_ids
         # unresolved new words accumulate as packed matrices across
-        # groups; only FULL length-sorted blocks launch mid-stream, the
-        # remainder flushes once at the end
+        # groups; only FULL length-sorted blocks ever launch on the
+        # device — the sub-block remainder at end of stream (rare Zipf
+        # tail, a few KB of bytes) takes the exact native scalar path on
+        # the host instead of paying a padded launch round trip
         carry_byte: dict[int, list] = {b: [] for b in BUCKETS}
         carry_ids: dict[int, list] = {b: [] for b in BUCKETS}
+        host_tail: list = []
 
         def flush(force: bool) -> None:
             for b in BUCKETS:
@@ -521,19 +557,23 @@ class TpuTokenizer:
                     raw = np.vstack([r for _, r, _ in parts])
                     lens = np.concatenate([l for _, _, l in parts])
                     order = np.argsort(lens, kind="stable")
-                    cut = n_tot if force else (n_tot // rows) * rows
-                    # mid-stream blocks take the LONGEST words: their
-                    # merge loops run the most rounds, so they get the
-                    # head start; the end-of-batch tail block is then
-                    # the cheapest (shortest words, fewest rounds)
+                    cut = (n_tot // rows) * rows
+                    # device blocks take the LONGEST words: their merge
+                    # loops run the most rounds, so they get the head
+                    # start; the sub-block remainder is the cheapest
+                    # (shortest words, fewest rounds)
                     sel = order[n_tot - cut :]
-                    self._launch_byte_blocks(
-                        b, gids[sel], raw[sel], lens[sel], pending
-                    )
+                    if cut:
+                        self._launch_byte_blocks(
+                            b, gids[sel], raw[sel], lens[sel], pending
+                        )
                     parts.clear()
                     if cut < n_tot:
                         rest = order[: n_tot - cut]
-                        parts.append((gids[rest], raw[rest], lens[rest]))
+                        if force:
+                            host_tail.append((gids[rest], raw[rest], lens[rest]))
+                        else:
+                            parts.append((gids[rest], raw[rest], lens[rest]))
                 items = carry_ids[b]
                 if items and (len(items) >= rows or force):
                     items.sort(key=lambda t: t[1].shape[0])
@@ -541,10 +581,6 @@ class TpuTokenizer:
                     self._launch_id_words(b, items[:cut], pending)
                     del items[:cut]
 
-        all_blob = b"".join(enc)
-        all_off = np.zeros(len(enc) + 1, dtype=np.int64)
-        if enc:
-            np.cumsum([len(b) for b in enc], out=all_off[1:])
         all_np = (
             np.frombuffer(all_blob, dtype=np.uint8)
             if all_blob
@@ -622,11 +658,15 @@ class TpuTokenizer:
         flush(True)
         t_launch += _time.perf_counter() - tg
 
+        tg = _time.perf_counter()
+        self._encode_host_tail(host_tail)
+        t_tail = _time.perf_counter() - tg
+
         if timing:
             print(
                 f"[ht-timing] split+resolve+launch: {_time.perf_counter()-t0:.3f}s"
                 f" (split {t_split:.3f} resolve {t_resolve:.3f}"
-                f" launch {t_launch:.3f})"
+                f" launch {t_launch:.3f} host-tail {t_tail:.3f})"
             )
             t0 = _time.perf_counter()
 
@@ -665,6 +705,41 @@ class TpuTokenizer:
             print(f"[ht-timing] assembly: {_time.perf_counter()-t0:.3f}s")
         return flat_tokens, doc_offs, doc_prefix_run
 
+    def _native_word_encoder(self):
+        """Lazily built native scalar engine for stream-tail words."""
+        if not hasattr(self, "_nat_enc"):
+            try:
+                from .native import NativeEngine
+
+                self._nat_enc = NativeEngine(self.ctx)
+            except Exception:  # pragma: no cover - library vanished
+                self._nat_enc = None
+        return self._nat_enc
+
+    def _encode_host_tail(self, host_tail: list) -> None:
+        """Exact scalar encode of the sub-block remainder (new unique
+        words that never filled a device block): a few KB of rare words,
+        cheaper on the host than one padded device round trip."""
+        if not host_tail:
+            return
+        nat = self._native_word_encoder()
+        for gids, raw, lens in host_tail:
+            k, width = raw.shape
+            if nat is not None:
+                flat = np.ascontiguousarray(raw).reshape(-1)
+                offs = np.arange(k, dtype=np.int64) * width
+                toks, spans = nat.encode_words(flat, offs, lens, num_threads=2)
+                base = self._pool_append_flat(toks)
+                self._gid_start[gids] = base + spans[:-1]
+                self._gid_len[gids] = spans[1:] - spans[:-1]
+            else:  # pure-python fallback, exact but slower
+                lens_l = lens.tolist()
+                for r in range(k):
+                    wb = raw[r, : lens_l[r]].tobytes()
+                    sp = self._pool_append(self._encode_word_host(wb, None))
+                    self._gid_start[gids[r]] = sp[0]
+                    self._gid_len[gids[r]] = sp[1]
+
     def _ensure_gid_capacity(self, n: int) -> None:
         cap = self._gid_start.shape[0]
         if n <= cap:
@@ -698,8 +773,8 @@ class TpuTokenizer:
             handle = self._merge_bytes_block(
                 block, lens_pad, int(lens[lo:hi].max(initial=1))
             )
-            pending.append(
-                (handle, gids[lo:hi], rows, int(lens[lo:hi].sum()))
+            self._stage_launch(
+                handle, gids[lo:hi], rows, int(lens[lo:hi].sum()), pending
             )
             lo = hi
 

@@ -82,6 +82,11 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, _u8p, _i64p, ctypes.c_int64, ctypes.c_int,
         ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
     ]
+    lib.ht_encode_words.restype = ctypes.c_int64
+    lib.ht_encode_words.argtypes = [
+        ctypes.c_void_p, _u8p, _i64p, _i32p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
+    ]
     lib.ht_decode_batch.restype = ctypes.c_int
     lib.ht_decode_batch.argtypes = [
         ctypes.c_void_p, _i32p, _i64p, ctypes.c_int64, ctypes.c_int,
@@ -332,13 +337,18 @@ class NativeEngine:
             pass
 
     def encode_batch(self, texts: list[str], num_threads: int = 1) -> list[list[int]]:
-        blob = b"".join(t.encode("utf-8") for t in texts)
+        # the reference binding parses documents with PyArg_ParseTuple
+        # "s", which rejects embedded nulls (src/lib.c:668-676)
+        for t in texts:
+            if "\x00" in t:
+                raise ValueError("embedded null character")
+        enc = [t.encode("utf-8") for t in texts]
+        blob = b"".join(enc)
         doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
-        pos = 0
-        for i, t in enumerate(texts):
-            doc_off[i] = pos
-            pos += len(t.encode("utf-8"))
-        doc_off[len(texts)] = pos
+        np.cumsum(
+            np.fromiter(map(len, enc), dtype=np.int64, count=len(enc)),
+            out=doc_off[1:],
+        )
         blob_np = (
             np.frombuffer(blob, dtype=np.uint8).copy()
             if blob
@@ -358,6 +368,35 @@ class NativeEngine:
         return [
             toks[offs[i] : offs[i + 1]].tolist() for i in range(len(texts))
         ]
+
+    def encode_words(
+        self,
+        blob: np.ndarray,
+        offs: np.ndarray,
+        lens: np.ndarray,
+        num_threads: int = 2,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact scalar encode of standalone words (slices of ``blob``).
+
+        Returns (flat_tokens int32, spans int64 [n_words+1]); word i's
+        tokens are ``flat[spans[i]:spans[i+1]]``.
+        """
+        offs = np.ascontiguousarray(offs, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        n = len(lens)
+        out_toks = _i32p()
+        out_spans = _i64p()
+        total = self._lib.ht_encode_words(
+            self._h, _np_u8p(blob), _np_i64p(offs), _np_i32p(lens), n,
+            int(num_threads), ctypes.byref(out_toks), ctypes.byref(out_spans),
+        )
+        toks = np.ctypeslib.as_array(out_toks, shape=(max(int(total), 1),))[
+            : int(total)
+        ].copy()
+        spans = np.ctypeslib.as_array(out_spans, shape=(n + 1,)).copy()
+        self._lib.ht_free_i32(out_toks)
+        self._lib.ht_free_i64(out_spans)
+        return toks, spans
 
     def decode_batch(self, token_lists: list[list[int]], num_threads: int = 1) -> list[str]:
         flat = np.array(

@@ -805,6 +805,62 @@ int64_t ht_encode_batch(Engine* e, const uint8_t* text,
   return total;
 }
 
+// Encode a set of standalone words (no document semantics: no prefix,
+// no splitting — each (offset,len) slice is one parser word).  Used by
+// the device engine for stream-tail stragglers: words that never filled
+// a device block get the exact scalar path here instead of paying a
+// padded-launch round trip.  Returns total tokens; out_spans has
+// n_words+1 prefix offsets.
+int64_t ht_encode_words(Engine* e, const uint8_t* text, const int64_t* offs,
+                        const int32_t* lens, int64_t n_words, int n_threads,
+                        int32_t** out_tokens, int64_t** out_spans) {
+  n_threads = std::max(1, std::min<int>(n_threads, 16));
+  std::vector<std::vector<int32_t>> chunk_toks{size_t(n_threads)};
+  std::vector<std::vector<int32_t>> chunk_cnt{size_t(n_threads)};
+  int64_t per = (n_words + n_threads - 1) / std::max(1, n_threads);
+  auto worker = [&](int t) {
+    int64_t lo = per * t;
+    int64_t hi = std::min(n_words, lo + per);
+    auto& toks = chunk_toks[size_t(t)];
+    auto& cnt = chunk_cnt[size_t(t)];
+    cnt.reserve(size_t(std::max<int64_t>(hi - lo, 0)));
+    for (int64_t i = lo; i < hi; ++i) {
+      size_t before = toks.size();
+      e->encode_word(text + offs[i], size_t(lens[i]), false, toks);
+      cnt.push_back(int32_t(toks.size() - before));
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
+    worker(0);
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto& v : chunk_toks) total += int64_t(v.size());
+  auto* toks = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * size_t(std::max<int64_t>(total, 1))));
+  auto* spans = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * size_t(n_words + 1)));
+  int64_t pos = 0;
+  int64_t w = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    if (!chunk_toks[size_t(t)].empty())
+      std::memcpy(toks + pos, chunk_toks[size_t(t)].data(),
+                  chunk_toks[size_t(t)].size() * sizeof(int32_t));
+    for (int32_t c : chunk_cnt[size_t(t)]) {
+      spans[w++] = pos;
+      pos += c;
+    }
+  }
+  spans[w] = pos;
+  *out_tokens = toks;
+  *out_spans = spans;
+  return total;
+}
+
 // Decode a batch.  tokens flat + offsets; returns 0 on success, -1 on any
 // out-of-range id (first error wins, like src/lib.c:1055-1062).
 int ht_decode_batch(Engine* e, const int32_t* tokens,

@@ -130,3 +130,14 @@ def test_initialize_without_special_file():
     ids = hutoken.encode("the")
     assert ids and all(i >= 0 for i in ids)
     assert hutoken.decode(ids) == "the"
+
+
+def test_encode_embedded_null_raises():
+    # reference: PyArg_ParseTuple("s") rejects embedded nulls at the
+    # binding boundary (src/lib.c:668-676), surfaced as the facade's
+    # wrapped RuntimeError on every backend path
+    _init_fixture(backend="host")
+    with pytest.raises(RuntimeError, match="embedded null character"):
+        hutoken.encode("a\x00b")
+    with pytest.raises(RuntimeError, match="embedded null character"):
+        hutoken.batch_encode(["ok", "a\x00b"])

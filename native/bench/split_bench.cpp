@@ -48,7 +48,46 @@ int main(int argc, char** argv) {
       auto t0 = Clock::now();
       words.clear();
       split_words(text.data(), size_t(n), words);
-      printf("split 1T: %.1f ms (%zu words)\n", ms_since(t0), words.size());
+      printf("split scalar 1T: %.1f ms (%zu words)\n", ms_since(t0), words.size());
+      words.clear();
+      t0 = Clock::now();
+      split_words_fast(text.data(), size_t(n), words);
+      printf("split fast 1T: %.1f ms (%zu words)\n", ms_since(t0), words.size());
+      if (rep == 0) {  // verify SIMD == scalar, per document
+        std::vector<std::pair<int64_t, int64_t>> a, b;
+        size_t bad = 0;
+        for (int64_t d = 0; d + 1 < no; ++d) {
+          a.clear(); b.clear();
+          const uint8_t* doc = text.data() + offs[size_t(d)];
+          size_t dn = size_t(offs[size_t(d) + 1] - offs[size_t(d)]);
+          split_words(doc, dn, a);
+          split_words_fast(doc, dn, b);
+          if (a != b) { bad++; if (bad < 3) printf("MISMATCH doc %lld (%zu vs %zu words)\n", (long long)d, a.size(), b.size()); }
+        }
+        printf("verify: %zu mismatching docs of %lld\n", bad, (long long)(no - 1));
+        size_t simd_words = 0;
+        std::vector<int32_t> st;
+        auto tv = Clock::now();
+        for (int64_t d = 0; d + 1 < no; ++d) {
+          st.clear();
+          const uint8_t* doc = text.data() + offs[size_t(d)];
+          size_t dn = size_t(offs[size_t(d) + 1] - offs[size_t(d)]);
+          split_starts_hybrid(doc, dn, st);
+          simd_words += st.size();
+        }
+        printf("per-doc hybrid pass: %.1f ms (%zu words)\n",
+               ms_since(tv), simd_words);
+      }
+      std::vector<int32_t> starts;
+      starts.reserve(2000000);
+      t0 = Clock::now();
+      split_starts_hybrid(text.data(), size_t(n), starts);
+      printf("starts hybrid 1T: %.1f ms (%zu starts)\n", ms_since(t0), starts.size());
+      // hash only via hash_word
+      uint64_t acc = 0;
+      t0 = Clock::now();
+      for (auto& [s, e] : words) acc ^= hash_word(text.data() + s, size_t(e - s));
+      printf("hash_word 1T: %.1f ms (acc %llx)\n", ms_since(t0), (unsigned long long)acc);
     }
     // (b) split + hash every word
     {

@@ -18,6 +18,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cctype>
 #include <cstdint>
 #include <cstdlib>
@@ -25,6 +26,10 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -344,6 +349,327 @@ size_t split_words(const uint8_t* text, size_t n,
   return out.size();
 }
 
+// ----------------------------------------------- SIMD split fast path
+//
+// The scalar splitter above re-scans each position once per class in
+// the cascade.  For ASCII text (the overwhelmingly common case) the
+// token-START positions are a pure function of a 3-byte local window,
+// so they vectorize: classify 64 bytes per instruction via a 128-entry
+// VPERMI2B table, derive a 64-bit "token starts here" mask with shifts
+// and boolean ops, and extract set bits.  Equivalence with the scalar
+// cascade (same classes, same [ ]?-glue and space-run semantics as
+// reference src/parser.c:14-141) is fuzz-checked in tests/test_native.py.
+//
+// Derivation of the start rule for ASCII byte i (classes: A alpha,
+// D digit, O other, W space 0x20, S single-char = \t\n\v\f\r and NUL):
+//   * W: start iff byte i-1 is not a space (a space after content opens
+//     either a glued "[ ]word" token or a space run; later spaces of a
+//     run are continuations),
+//   * S: always a start (each is its own token),
+//   * A/D/O: if byte i-1 is a space, the space GLUED to this run iff it
+//     was single (i.e. byte i-2 is not a space) — so start iff i-2 is
+//     also a space; otherwise start iff byte i-1 has a different class.
+// With "out of range" treated as not-a-space / class-less, position 0
+// is always a start under the same formula.
+
+enum : uint8_t { SC_A = 1, SC_D = 2, SC_O = 3, SC_W = 4, SC_S = 5 };
+
+struct SimdClassTable {
+  alignas(64) uint8_t t[128];
+  SimdClassTable() {
+    for (int b = 0; b < 128; ++b) {
+      uint32_t cp = uint32_t(b);
+      if (cp == ' ')
+        t[b] = SC_W;
+      else if (is_ws(cp) || cp == 0)
+        t[b] = SC_S;
+      else if (is_dig(cp))
+        t[b] = SC_D;
+      else if (is_hu_alpha(cp))
+        t[b] = SC_A;
+      else
+        t[b] = SC_O;
+    }
+  }
+};
+
+// 64-entry membership tables for the accented-alpha SECOND byte of a
+// 2-byte char (indexed by low 6 bits: continuation bytes are
+// 0x80..0xBF, so the low 6 bits are unique).  One table per lead byte.
+struct HuAccentTables {
+  alignas(64) uint8_t c3[64] = {};  // U+00C0..U+00FF page
+  alignas(64) uint8_t c5[64] = {};  // U+0140..U+017F page
+  HuAccentTables() {
+    for (uint8_t b : {0x81, 0x89, 0x8D, 0x93, 0x96, 0x9A, 0x9C, 0xA1, 0xA9,
+                      0xAD, 0xB3, 0xB6, 0xBA, 0xBC})
+      c3[b & 0x3F] = 0xFF;  // ÁÉÍÓÖÚÜ áéíóöúü
+    for (uint8_t b : {0x90, 0x91, 0xB0, 0xB1}) c5[b & 0x3F] = 0xFF;  // ŐőŰű
+  }
+};
+
+// Carry state across split windows: whether the previous byte (sp1) and
+// the one before it (sp2) were 0x20, and the previous byte's effective
+// run class (0 = none/space/single-char, SC_A/SC_D/SC_O otherwise).
+struct SplitState {
+  bool sp1 = false;
+  bool sp2 = false;
+  uint8_t pcls = 0;
+};
+
+// Scalar char-at-a-time start emission with the same state machine the
+// SIMD windows implement; serves regions the vector path cannot
+// (3/4-byte chars, 2-byte pages other than 0xC3/0xC5, invalid UTF-8).
+// Processes whole characters from *i until at least `stop` (or n).
+void scalar_starts_chars(const uint8_t* text, size_t* i, size_t stop,
+                         size_t n, SplitState& st,
+                         std::vector<int32_t>& starts) {
+  const uint8_t* end = text + n;
+  while (*i < n && *i < stop) {
+    size_t p = *i;
+    uint8_t b = text[p];
+    int clen = 1;
+    uint8_t cls;  // effective class of this char
+    if (b < 0x80) {
+      if (b == ' ')
+        cls = SC_W;
+      else if (is_ws(b) || b == 0)
+        cls = SC_S;
+      else if (is_dig(b))
+        cls = SC_D;
+      else if (is_hu_alpha(b))
+        cls = SC_A;
+      else
+        cls = SC_O;
+    } else {
+      uint32_t cp = decode_utf8_checked(text + p, end, &clen);
+      if (cp == 0) {
+        cls = SC_S;  // invalid sequence: single-byte token
+        clen = 1;
+      } else {
+        cls = is_hu_alpha(cp) ? SC_A : SC_O;  // no multibyte ws/digits
+      }
+    }
+    bool start;
+    if (cls == SC_W) {
+      start = !st.sp1;
+    } else if (cls == SC_S) {
+      start = true;
+    } else {
+      start = st.sp1 ? st.sp2 : (st.pcls != cls);
+    }
+    if (start) starts.push_back(int32_t(p));
+    st.sp2 = (clen == 1) ? st.sp1 : false;
+    st.sp1 = (cls == SC_W);
+    st.pcls = (cls == SC_A || cls == SC_D || cls == SC_O) ? cls : 0;
+    *i += size_t(clen);
+  }
+}
+
+#if defined(__x86_64__)
+// One 64-byte window of the vector splitter.  Returns the number of
+// bytes consumed (emitting starts and advancing `st`), or 0 when the
+// window contains bytes outside the supported alphabet (state and
+// output untouched; the caller runs the scalar path for a stretch).
+__attribute__((target("avx512f,avx512bw,avx512vbmi,bmi2")))
+size_t split_window_avx512(const uint8_t* text, size_t i, size_t n,
+                           SplitState& st, std::vector<int32_t>& starts) {
+  // Supported: ASCII plus valid 2-byte sequences led by 0xC3/0xC5 (the
+  // Latin-1/Latin-Ext-A pages that hold every Hungarian accent and most
+  // Western European letters; accented-alpha pairs class as A, other
+  // such pairs as O).
+  static const SimdClassTable kTbl;
+  static const HuAccentTables kAcc;
+  const __m512i tbl0 = _mm512_load_si512(kTbl.t);
+  const __m512i tbl1 = _mm512_load_si512(kTbl.t + 64);
+  const __m512i acc3 = _mm512_load_si512(kAcc.c3);
+  const __m512i acc5 = _mm512_load_si512(kAcc.c5);
+  const __m512i vspace = _mm512_set1_epi8(' ');
+  const __m512i vS = _mm512_set1_epi8(char(SC_S));
+  const __m512i vA = _mm512_set1_epi8(char(SC_A));
+  const __m512i vD = _mm512_set1_epi8(char(SC_D));
+  const __m512i vO = _mm512_set1_epi8(char(SC_O));
+  const __m512i vC3 = _mm512_set1_epi8(char(0xC3));
+  const __m512i vC5 = _mm512_set1_epi8(char(0xC5));
+  const __m512i vhi2 = _mm512_set1_epi8(char(0xC0));
+  const __m512i vcontpat = _mm512_set1_epi8(char(0x80));
+
+  size_t rem = n - i;
+  uint64_t valid = (rem >= 64) ? ~0ULL : ((1ULL << rem) - 1);
+  __m512i z = (rem >= 64)
+                  ? _mm512_loadu_si512(text + i)
+                  : _mm512_maskz_loadu_epi8(__mmask64(valid), text + i);
+  size_t wlen = rem >= 64 ? 64 : rem;
+  uint64_t high = _mm512_movepi8_mask(z) & valid;
+  __m512i cls = _mm512_permutex2var_epi8(tbl0, z, tbl1);
+  uint64_t msp = _mm512_cmpeq_epi8_mask(z, vspace) & valid;
+  uint64_t mS = _mm512_cmpeq_epi8_mask(cls, vS) & valid & ~high;
+  uint64_t mA = _mm512_cmpeq_epi8_mask(cls, vA) & valid & ~high;
+  uint64_t mD = _mm512_cmpeq_epi8_mask(cls, vD) & valid & ~high;
+  uint64_t mO = _mm512_cmpeq_epi8_mask(cls, vO) & valid & ~high;
+  uint64_t mcont = 0;
+  if (high) {
+    uint64_t mc3 = _mm512_cmpeq_epi8_mask(z, vC3) & valid;
+    uint64_t mc5 = _mm512_cmpeq_epi8_mask(z, vC5) & valid;
+    uint64_t mlead = mc3 | mc5;
+    mcont =
+        _mm512_cmpeq_epi8_mask(_mm512_and_si512(z, vhi2), vcontpat) & valid;
+    if ((mlead | mcont) != high) return 0;  // unsupported multibyte char
+    // a lead as the window's last byte: its pair spills into the next
+    // window — shrink this window by one and reprocess it there
+    uint64_t last_bit = 1ULL << (wlen - 1);
+    if (mlead & last_bit) {
+      if (wlen == 1) return 0;  // lone lead (invalid or window-straddling)
+      wlen -= 1;
+      valid &= ~last_bit;
+      msp &= valid; mS &= valid; mA &= valid; mD &= valid; mO &= valid;
+      mc3 &= valid; mc5 &= valid; mlead &= valid; mcont &= valid;
+    }
+    if ((mlead << 1) != mcont) return 0;  // stray/unpaired bytes
+    // classify each 2-byte char at its continuation position, then
+    // spread to the lead (the lead is always in-window, see above)
+    uint64_t a3 = _mm512_movepi8_mask(_mm512_permutexvar_epi8(z, acc3));
+    uint64_t a5 = _mm512_movepi8_mask(_mm512_permutexvar_epi8(z, acc5));
+    uint64_t acc_cont = mcont & (((mc3 << 1) & a3) | ((mc5 << 1) & a5));
+    uint64_t alpha2 = acc_cont | (acc_cont >> 1);
+    uint64_t oth_cont = mcont & ~acc_cont;
+    mA |= alpha2;
+    mO |= oth_cont | (oth_cont >> 1);
+  }
+  uint64_t cA = st.pcls == SC_A ? 1u : 0u;
+  uint64_t cD = st.pcls == SC_D ? 1u : 0u;
+  uint64_t cO = st.pcls == SC_O ? 1u : 0u;
+  uint64_t psp = (msp << 1) | uint64_t(st.sp1);
+  uint64_t psp2 = (msp << 2) | (uint64_t(st.sp2) | (uint64_t(st.sp1) << 1));
+  uint64_t same = (mA & ((mA << 1) | cA)) | (mD & ((mD << 1) | cD)) |
+                  (mO & ((mO << 1) | cO));
+  uint64_t mcontent_start = (mA | mD | mO) & ~mcont;
+  uint64_t start = (msp & ~psp) | mS |
+                   (mcontent_start & ((psp & psp2) | (~psp & ~same)));
+  start &= valid;
+  while (start) {
+    starts.push_back(int32_t(i + size_t(_tzcnt_u64(start))));
+    start = _blsr_u64(start);
+  }
+  if (wlen >= 2) {
+    st.sp2 = (msp >> (wlen - 2)) & 1;
+    st.sp1 = (msp >> (wlen - 1)) & 1;
+  } else {
+    st.sp2 = st.sp1;
+    st.sp1 = msp & 1;
+  }
+  uint64_t lastb = 1ULL << (wlen - 1);
+  st.pcls = (mA & lastb)   ? uint8_t(SC_A)
+            : (mD & lastb) ? uint8_t(SC_D)
+            : (mO & lastb) ? uint8_t(SC_O)
+                           : uint8_t(0);
+  return wlen;
+}
+
+inline bool have_simd_split() {
+  static const bool ok = __builtin_cpu_supports("avx512vbmi") &&
+                         __builtin_cpu_supports("avx512bw") &&
+                         __builtin_cpu_supports("bmi2");
+  return ok;
+}
+#else
+inline bool have_simd_split() { return false; }
+inline size_t split_window_avx512(const uint8_t*, size_t, size_t, SplitState&,
+                                  std::vector<int32_t>&) {
+  return 0;
+}
+#endif
+
+// Full-stream token-start emission: vector windows with scalar
+// char-level fallback for unsupported stretches.  Produces exactly the
+// token starts of the scalar cascade splitter (fuzz-verified).
+void split_starts_hybrid(const uint8_t* text, size_t n,
+                         std::vector<int32_t>& starts) {
+  SplitState st;
+  size_t i = 0;
+  const bool simd = have_simd_split();
+  while (i < n) {
+    size_t got = simd ? split_window_avx512(text, i, n, st, starts) : 0;
+    if (got) {
+      i += got;
+    } else {
+      // scalar for (at least) one window's worth of chars, then retry
+      scalar_starts_chars(text, &i, i + 64, n, st, starts);
+    }
+  }
+}
+
+
+// split via the SIMD fast path when possible; scalar cascade otherwise
+// (non-ASCII documents, non-AVX-512 hosts)
+void split_words_fast(const uint8_t* text, size_t n,
+                      std::vector<std::pair<int64_t, int64_t>>& out) {
+  if (have_simd_split() && n) {
+    static thread_local std::vector<int32_t> starts;
+    starts.clear();
+    split_starts_hybrid(text, n, starts);
+    size_t nw = starts.size();
+    out.reserve(out.size() + nw);
+    for (size_t w = 0; w < nw; ++w) {
+      int64_t sp = starts[w];
+      int64_t ep = (w + 1 < nw) ? int64_t(starts[w + 1]) : int64_t(n);
+      out.emplace_back(sp, ep);
+    }
+    return;
+  }
+  split_words(text, n, out);
+}
+
+// Words of <= 16 bytes pack injectively into a (lo, hi, len) triple —
+// two possibly-overlapping 8-byte loads (every byte covered, so
+// equality of the triple IS byte equality).  Interners compare the
+// triple inline instead of dereferencing a byte pool, which removes
+// the second cache miss from the per-occurrence hot path.
+inline void word_key16(const uint8_t* p, size_t n, uint64_t* lo,
+                       uint64_t* hi) {
+  uint64_t a = 0, b = 0;
+  if (n > 8) {
+    std::memcpy(&a, p, 8);
+    std::memcpy(&b, p + n - 8, 8);
+    b >>= (16 - n) * 8;  // drop the bytes that overlap `a`
+  } else if (n == 8) {
+    std::memcpy(&a, p, 8);
+  } else if (n >= 4) {
+    uint32_t x, y;
+    std::memcpy(&x, p, 4);
+    std::memcpy(&y, p + n - 4, 4);
+    a = (uint64_t(y) << 32) | x;
+  } else if (n > 0) {
+    a = p[0] | (uint64_t(p[n >> 1]) << 8) | (uint64_t(p[n - 1]) << 16);
+  }
+  *lo = a;
+  *hi = b;
+}
+
+inline uint64_t hash_key16(uint64_t lo, uint64_t hi, size_t n) {
+  uint64_t h = 1469598103934665603ULL ^ (n * 0x9E3779B97F4A7C15ULL);
+  return mix64(mix64(h ^ lo) ^ hi);
+}
+
+// Word key + hash for any length: <= 16 uses the packed triple (hi/lo
+// loaded), > 16 uses first/last 8 bytes as a cheap prefilter plus the
+// full hash.  One formula for every path that feeds an interner / word
+// cache; process-wide consistent, never persisted.
+inline uint64_t word_key_hash(const uint8_t* p, size_t n, uint64_t* lo,
+                              uint64_t* hi) {
+  if (n <= 16) {
+    word_key16(p, n, lo, hi);
+    return hash_key16(*lo, *hi, n);
+  }
+  std::memcpy(lo, p, 8);
+  std::memcpy(hi, p + n - 8, 8);
+  return hash_bytes(p, n);
+}
+
+inline uint64_t hash_word(const uint8_t* p, size_t n) {
+  uint64_t lo, hi;
+  return word_key_hash(p, n, &lo, &hi);
+}
+
 // ---------------------------------------------------------------- engine
 
 struct Engine {
@@ -561,7 +887,7 @@ struct Engine {
                   WordCache* cache = nullptr) const {
     static thread_local std::vector<std::pair<int64_t, int64_t>> words;
     words.clear();
-    split_words(text, n, words);
+    split_words_fast(text, n, words);
     bool add_prefix = n == 0 || text[0] != ' ';
     bool add_prefix_token = !add_prefix;
     static thread_local std::vector<int32_t> tmp;
@@ -578,7 +904,7 @@ struct Engine {
       bool glued = add_prefix && !prefix.empty();
       if (cache != nullptr && !glued) {
         int32_t len = int32_t(e - s);
-        uint64_t h = hash_bytes(text + s, size_t(len));
+        uint64_t h = hash_word(text + s, size_t(len));
         if (const WordCache::Slot* hit = cache->find(text + s, len, h)) {
           out.insert(out.end(), cache->toks.begin() + hit->off,
                      cache->toks.begin() + hit->off + hit->cnt);
@@ -691,6 +1017,178 @@ struct Engine {
     return true;
   }
 };
+
+
+// ------------------------------- shared split+intern worker machinery
+
+// Per-worker word map: short words (<= 16B) compare by the packed
+// (lo, hi, len) triple only — no pool dereference on the hot path;
+// long words fall back to memcmp against their first occurrence.
+struct LocalWordMap {
+  struct Slot {
+    uint64_t lo = 0, hi = 0;
+    int64_t off = -1;  // absolute first-occurrence offset; -1 = empty
+    int32_t len = 0;
+    int32_t idx = 0;
+  };
+  const uint8_t* text = nullptr;  // base for long-word comparisons
+  std::vector<Slot> slots = std::vector<Slot>(1 << 13);
+  uint64_t mask = (1 << 13) - 1;
+  size_t count = 0;
+  std::vector<int64_t> uoff;
+  std::vector<int32_t> ulen;
+  std::vector<uint64_t> ulo, uhi, uh;
+
+  int32_t intern_keyed(int64_t abs_off, const uint8_t* p, int32_t len,
+                       uint64_t lo, uint64_t hi, uint64_t h) {
+    size_t i = h & mask;
+    if (len <= 16) {
+      while (slots[i].off >= 0) {
+        const Slot& s = slots[i];
+        if (s.len == len && s.lo == lo && s.hi == hi) return s.idx;
+        i = (i + 1) & mask;
+      }
+    } else {
+      while (slots[i].off >= 0) {
+        const Slot& s = slots[i];
+        if (s.len == len && s.lo == lo && s.hi == hi &&
+            std::memcmp(text + s.off, p, size_t(len)) == 0)
+          return s.idx;
+        i = (i + 1) & mask;
+      }
+    }
+    int32_t id = int32_t(count);
+    slots[i] = Slot{lo, hi, abs_off, len, id};
+    uoff.push_back(abs_off);
+    ulen.push_back(len);
+    ulo.push_back(lo);
+    uhi.push_back(hi);
+    uh.push_back(h);
+    if (++count * 2 >= slots.size()) grow();
+    return id;
+  }
+
+  int32_t intern(int64_t abs_off, const uint8_t* p, int32_t len) {
+    uint64_t lo, hi;
+    uint64_t h = word_key_hash(p, size_t(len), &lo, &hi);
+    return intern_keyed(abs_off, p, len, lo, hi, h);
+  }
+
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, Slot{});
+    mask = slots.size() - 1;
+    for (auto& s : old) {
+      if (s.off < 0) continue;
+      size_t i = uh[size_t(s.idx)] & mask;
+      while (slots[i].off >= 0) i = (i + 1) & mask;
+      slots[i] = s;
+    }
+  }
+};
+
+inline int split_thread_count() {
+  return std::min<int>(std::max(1u, std::thread::hardware_concurrency()), 16);
+}
+
+// Parallel split + local intern over documents: each worker pulls whole
+// documents, splits (SIMD hybrid when available), and dedups against
+// its own map; refs are worker-local ids remapped by the caller after
+// a serial unique-set merge.
+void run_split_intern_workers(const uint8_t* text, const int64_t* doc_offsets,
+                              int64_t n_docs, int n_threads,
+                              std::vector<LocalWordMap>& locals,
+                              std::vector<std::vector<int32_t>>& doc_refs,
+                              std::vector<uint8_t>& doc_owner) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&](int t) {
+    LocalWordMap& loc = locals[size_t(t)];
+    loc.text = text;
+    std::vector<std::pair<int64_t, int64_t>> words;
+    std::vector<int32_t> starts;
+    while (true) {
+      int64_t d = next.fetch_add(1);
+      if (d >= n_docs) break;
+      doc_owner[size_t(d)] = uint8_t(t);
+      const uint8_t* doc = text + doc_offsets[d];
+      size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
+      auto& refs = doc_refs[size_t(d)];
+      if (have_simd_split()) {
+        starts.clear();
+        split_starts_hybrid(doc, dn, starts);
+        size_t nw = starts.size();
+        refs.reserve(nw);
+        // software-pipelined probing: key+prefetch a chunk of words,
+        // then probe — overlapping the map's cache misses
+        constexpr size_t CH = 32;
+        uint64_t klo[CH], khi[CH], kh[CH];
+        int32_t klen[CH];
+        int32_t kofs[CH];
+        for (size_t base = 0; base < nw; base += CH) {
+          size_t m = std::min(CH, nw - base);
+          for (size_t j = 0; j < m; ++j) {
+            size_t w = base + j;
+            int64_t sp = starts[w];
+            int64_t ep = (w + 1 < nw) ? int64_t(starts[w + 1]) : int64_t(dn);
+            kofs[j] = int32_t(sp);
+            klen[j] = int32_t(ep - sp);
+            kh[j] = word_key_hash(doc + sp, size_t(klen[j]), &klo[j], &khi[j]);
+            __builtin_prefetch(&loc.slots[kh[j] & loc.mask], 0, 1);
+          }
+          for (size_t j = 0; j < m; ++j)
+            refs.push_back(loc.intern_keyed(doc_offsets[d] + kofs[j],
+                                            doc + kofs[j], klen[j], klo[j],
+                                            khi[j], kh[j]));
+        }
+        continue;
+      }
+      words.clear();
+      split_words(doc, dn, words);
+      refs.reserve(words.size());
+      for (auto& [sp, ep] : words) {
+        if (ep <= sp) continue;
+        refs.push_back(
+            loc.intern(doc_offsets[d] + sp, doc + sp, int32_t(ep - sp)));
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
+    worker(0);
+    for (auto& th : pool) th.join();
+  }
+}
+
+// remap worker-local per-doc refs to global ids into one flat array
+int32_t* remap_doc_refs(const std::vector<std::vector<int32_t>>& doc_refs,
+                        const std::vector<uint8_t>& doc_owner,
+                        const std::vector<std::vector<int32_t>>& remap,
+                        const std::vector<int64_t>& dwo, int64_t n_docs,
+                        int n_threads) {
+  int64_t total_words = dwo[size_t(n_docs)];
+  auto* word_ref = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * size_t(std::max<int64_t>(total_words, 1))));
+  std::atomic<int64_t> next(0);
+  auto remap_worker = [&]() {
+    while (true) {
+      int64_t d = next.fetch_add(1);
+      if (d >= n_docs) break;
+      const auto& rm = remap[doc_owner[size_t(d)]];
+      const auto& refs = doc_refs[size_t(d)];
+      int32_t* dst = word_ref + dwo[size_t(d)];
+      for (size_t i = 0; i < refs.size(); ++i) dst[i] = rm[size_t(refs[i])];
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < n_threads; ++t) pool.emplace_back(remap_worker);
+  remap_worker();
+  for (auto& th : pool) th.join();
+  return word_ref;
+}
 
 }  // namespace
 
@@ -918,122 +1416,37 @@ int64_t ht_split_dedup_slices(const uint8_t* text, const int64_t* doc_offsets,
   // a cheap serial merge (over ~uniques, not words) builds the global
   // id space, and a final parallel pass remaps the per-doc refs.  Every
   // input byte is read once; there is no intermediate word array.
-  int n_threads = std::min<int>(
-      std::max(1u, std::thread::hardware_concurrency()), 4);
-  struct USlot { uint64_t hash; int64_t off = -1; int32_t len; int32_t idx; };
-  struct Local {
-    std::vector<USlot> slots = std::vector<USlot>(1 << 12);
-    uint64_t mask = (1 << 12) - 1;
-    size_t count = 0;
-    std::vector<int64_t> uoff;
-    std::vector<int32_t> ulen;
-    std::vector<uint64_t> uhash;
-
-    int32_t intern(const uint8_t* text, int64_t abs_off, int32_t len,
-                   uint64_t h) {
-      size_t i = h & mask;
-      while (slots[i].off >= 0) {
-        if (slots[i].hash == h && slots[i].len == len &&
-            std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) == 0)
-          return slots[i].idx;
-        i = (i + 1) & mask;
-      }
-      int32_t id = int32_t(count);
-      slots[i] = USlot{h, abs_off, len, id};
-      uoff.push_back(abs_off);
-      ulen.push_back(len);
-      uhash.push_back(h);
-      if (++count * 2 >= slots.size()) grow();
-      return id;
-    }
-    void grow() {
-      std::vector<USlot> old;
-      old.swap(slots);
-      slots.assign(old.size() * 2, USlot{});
-      mask = slots.size() - 1;
-      for (auto& s : old) {
-        if (s.off < 0) continue;
-        size_t i = s.hash & mask;
-        while (slots[i].off >= 0) i = (i + 1) & mask;
-        slots[i] = s;
-      }
-    }
-  };
-  std::vector<Local> locals{size_t(n_threads)};
+  int n_threads = split_thread_count();
+  std::vector<LocalWordMap> locals{size_t(n_threads)};
   std::vector<std::vector<int32_t>> doc_refs(static_cast<size_t>(n_docs));
-  std::vector<uint8_t> doc_owner(static_cast<size_t>(std::max<int64_t>(n_docs, 1)));
-  {
-    std::atomic<int64_t> next(0);
-    auto worker = [&](int t) {
-      Local& loc = locals[size_t(t)];
-      std::vector<std::pair<int64_t, int64_t>> words;
-      while (true) {
-        int64_t d = next.fetch_add(1);
-        if (d >= n_docs) break;
-        doc_owner[size_t(d)] = uint8_t(t);
-        const uint8_t* doc = text + doc_offsets[d];
-        size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
-        words.clear();
-        split_words(doc, dn, words);
-        auto& refs = doc_refs[size_t(d)];
-        refs.reserve(words.size());
-        for (auto& [sp, ep] : words) {
-          if (ep <= sp) continue;
-          int32_t len = int32_t(ep - sp);
-          uint64_t h = hash_bytes(doc + sp, size_t(len));
-          refs.push_back(loc.intern(text, doc_offsets[d] + sp, len, h));
-        }
-      }
-    };
-    if (n_threads == 1) {
-      worker(0);
-    } else {
-      std::vector<std::thread> pool;
-      for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
-      worker(0);
-      for (auto& th : pool) th.join();
-    }
-  }
+  std::vector<uint8_t> doc_owner(
+      static_cast<size_t>(std::max<int64_t>(n_docs, 1)));
+  run_split_intern_workers(text, doc_offsets, n_docs, n_threads, locals,
+                           doc_refs, doc_owner);
 
   // serial merge of the local unique sets into a global id space
   std::vector<int64_t> uoff;
   std::vector<int32_t> ulen;
   std::vector<std::vector<int32_t>> remap{size_t(n_threads)};
   {
+    LocalWordMap merged;
+    merged.text = text;
     size_t total_local = 0;
     for (auto& loc : locals) total_local += loc.count;
-    size_t cap = 1 << 12;
+    size_t cap = 1 << 13;
     while (cap < 2 * total_local + 8) cap <<= 1;
-    std::vector<USlot> slots(cap, USlot{});
-    uint64_t mask = cap - 1;
-    uoff.reserve(total_local);
-    ulen.reserve(total_local);
+    merged.slots.assign(cap, LocalWordMap::Slot{});
+    merged.mask = cap - 1;
     for (int t = 0; t < n_threads; ++t) {
-      Local& loc = locals[size_t(t)];
+      LocalWordMap& loc = locals[size_t(t)];
       remap[size_t(t)].resize(loc.count);
-      for (size_t u = 0; u < loc.count; ++u) {
-        uint64_t h = loc.uhash[u];
-        int64_t off = loc.uoff[u];
-        int32_t len = loc.ulen[u];
-        size_t i = h & mask;
-        int32_t found = -1;
-        while (slots[i].off >= 0) {
-          if (slots[i].hash == h && slots[i].len == len &&
-              std::memcmp(text + slots[i].off, text + off, size_t(len)) == 0) {
-            found = slots[i].idx;
-            break;
-          }
-          i = (i + 1) & mask;
-        }
-        if (found < 0) {
-          found = int32_t(uoff.size());
-          slots[i] = USlot{h, off, len, found};
-          uoff.push_back(off);
-          ulen.push_back(len);
-        }
-        remap[size_t(t)][u] = found;
-      }
+      for (size_t u = 0; u < loc.count; ++u)
+        remap[size_t(t)][u] = merged.intern_keyed(
+            loc.uoff[u], text + loc.uoff[u], loc.ulen[u], loc.ulo[u],
+            loc.uhi[u], loc.uh[u]);
     }
+    uoff.swap(merged.uoff);
+    ulen.swap(merged.ulen);
   }
   int64_t n_uniq = int64_t(uoff.size());
 
@@ -1041,26 +1454,8 @@ int64_t ht_split_dedup_slices(const uint8_t* text, const int64_t* doc_offsets,
   std::vector<int64_t> dwo(size_t(n_docs) + 1, 0);
   for (int64_t d = 0; d < n_docs; ++d)
     dwo[size_t(d) + 1] = dwo[size_t(d)] + int64_t(doc_refs[size_t(d)].size());
-  int64_t total_words = dwo[size_t(n_docs)];
-  auto* word_ref = static_cast<int32_t*>(
-      malloc(sizeof(int32_t) * std::max<int64_t>(total_words, 1)));
-  {
-    std::atomic<int64_t> next(0);
-    auto remap_worker = [&]() {
-      while (true) {
-        int64_t d = next.fetch_add(1);
-        if (d >= n_docs) break;
-        const auto& rm = remap[doc_owner[size_t(d)]];
-        const auto& refs = doc_refs[size_t(d)];
-        int32_t* dst = word_ref + dwo[size_t(d)];
-        for (size_t i = 0; i < refs.size(); ++i) dst[i] = rm[size_t(refs[i])];
-      }
-    };
-    std::vector<std::thread> pool;
-    for (int t = 1; t < n_threads; ++t) pool.emplace_back(remap_worker);
-    remap_worker();
-    for (auto& th : pool) th.join();
-  }
+  int32_t* word_ref =
+      remap_doc_refs(doc_refs, doc_owner, remap, dwo, n_docs, n_threads);
 
   auto copy_i64 = [](const std::vector<int64_t>& v) {
     auto* p = static_cast<int64_t*>(
@@ -1091,39 +1486,58 @@ int64_t ht_split_dedup_slices(const uint8_t* text, const int64_t* doc_offsets,
 
 struct Interner {
   struct Slot {
-    uint64_t hash = 0;
+    uint64_t lo = 0, hi = 0;
     int64_t gid = -1;
+    int32_t len = 0;
+    int32_t pad = 0;
   };
-  std::vector<uint8_t> pool;
-  std::vector<int64_t> poff;  // gid -> pool offset
-  std::vector<int32_t> plen;  // gid -> length
-  std::vector<Slot> slots = std::vector<Slot>(1 << 12);
-  uint64_t mask = (1 << 12) - 1;
+  std::vector<uint8_t> pool;    // bytes of long (> 16B) words only
+  std::vector<int64_t> poff;    // gid -> pool offset (-1 = short word)
+  std::vector<int32_t> plen;    // gid -> length
+  std::vector<uint64_t> phash;  // gid -> hash (grow-time rehash)
+  std::vector<Slot> slots = std::vector<Slot>(1 << 13);
+  uint64_t mask = (1 << 13) - 1;
 
-  int64_t count() const { return int64_t(poff.size()); }
+  int64_t count() const { return int64_t(plen.size()); }
 
   void reset() {
     pool.clear();
     poff.clear();
     plen.clear();
-    slots.assign(1 << 12, Slot{});
-    mask = (1 << 12) - 1;
+    phash.clear();
+    slots.assign(1 << 13, Slot{});
+    mask = (1 << 13) - 1;
   }
 
-  int64_t intern(const uint8_t* p, int32_t len, uint64_t h) {
+  int64_t intern_keyed(const uint8_t* p, int32_t len, uint64_t lo,
+                       uint64_t hi, uint64_t h) {
     size_t i = h & mask;
-    while (slots[i].gid >= 0) {
-      const Slot& s = slots[i];
-      if (s.hash == h && plen[size_t(s.gid)] == len &&
-          std::memcmp(pool.data() + poff[size_t(s.gid)], p, size_t(len)) == 0)
-        return s.gid;
-      i = (i + 1) & mask;
+    if (len <= 16) {
+      while (slots[i].gid >= 0) {
+        const Slot& s = slots[i];
+        if (s.len == len && s.lo == lo && s.hi == hi) return s.gid;
+        i = (i + 1) & mask;
+      }
+    } else {
+      while (slots[i].gid >= 0) {
+        const Slot& s = slots[i];
+        if (s.len == len && s.lo == lo && s.hi == hi &&
+            std::memcmp(pool.data() + poff[size_t(s.gid)], p, size_t(len)) ==
+                0)
+          return s.gid;
+        i = (i + 1) & mask;
+      }
     }
     int64_t gid = count();
-    slots[i] = Slot{h, gid};
-    poff.push_back(int64_t(pool.size()));
+    slots[i] = Slot{lo, hi, gid, len, 0};
+    if (len > 16) {
+      poff.push_back(int64_t(pool.size()));
+      pool.insert(pool.end(), p, p + len);
+    } else {
+      poff.push_back(-1);
+    }
     plen.push_back(len);
-    pool.insert(pool.end(), p, p + len);
+    phash.push_back(h);
     if (size_t(count()) * 2 >= slots.size()) grow();
     return gid;
   }
@@ -1135,7 +1549,7 @@ struct Interner {
     mask = slots.size() - 1;
     for (auto& s : old) {
       if (s.gid < 0) continue;
-      size_t i = s.hash & mask;
+      size_t i = phash[size_t(s.gid)] & mask;
       while (slots[i].gid >= 0) i = (i + 1) & mask;
       slots[i] = s;
     }
@@ -1152,10 +1566,18 @@ int64_t ht_assemble(const int32_t* word_ref, int64_t total_words,
                     const int32_t* pool,
                     int32_t** out_tokens, int64_t** out_doc_offsets) {
   (void)total_words;  // implied by doc_word_offsets[n_docs]
+  static const bool timing = getenv("HUTOKEN_NATIVE_TIMING") != nullptr;
+  auto tw0 = std::chrono::steady_clock::now();
+  auto lap = [&](const char* what) {
+    if (!timing) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[ht-native] assemble %s: %.1f ms\n", what,
+            std::chrono::duration<double, std::milli>(now - tw0).count());
+    tw0 = now;
+  };
   auto* doc_off = static_cast<int64_t*>(
       malloc(sizeof(int64_t) * size_t(n_docs + 1)));
-  int n_threads =
-      std::min<int>(std::max(1u, std::thread::hardware_concurrency()), 4);
+  int n_threads = split_thread_count();
 
   // pass 1: per-doc token counts (parallel over doc ranges)
   {
@@ -1175,11 +1597,13 @@ int64_t ht_assemble(const int32_t* word_ref, int64_t total_words,
     worker();
     for (auto& th : pool_t) th.join();
   }
+  lap("pass1");
   doc_off[0] = 0;
   for (int64_t d = 0; d < n_docs; ++d) doc_off[d + 1] += doc_off[d];
   int64_t total_tokens = doc_off[n_docs];
   auto* toks = static_cast<int32_t*>(
       malloc(sizeof(int32_t) * size_t(std::max<int64_t>(total_tokens, 1))));
+  lap("malloc");
 
   // pass 2: copy spans (parallel over doc ranges; disjoint outputs)
   {
@@ -1204,6 +1628,7 @@ int64_t ht_assemble(const int32_t* word_ref, int64_t total_words,
     worker();
     for (auto& th : pool_t) th.join();
   }
+  lap("pass2");
   *out_tokens = toks;
   *out_doc_offsets = doc_off;
   return total_tokens;
@@ -1225,83 +1650,13 @@ int64_t ht_split_intern(Interner* interner, const uint8_t* text,
                         int64_t** out_doc_word_offsets,  // n_docs+1
                         int64_t** out_new_offsets,       // [new-prev]
                         int32_t** out_new_lens) {        // [new-prev]
-  int n_threads = std::min<int>(
-      std::max(1u, std::thread::hardware_concurrency()), 4);
-  struct USlot { uint64_t hash; int64_t off = -1; int32_t len; int32_t idx; };
-  struct Local {
-    std::vector<USlot> slots = std::vector<USlot>(1 << 12);
-    uint64_t mask = (1 << 12) - 1;
-    size_t count = 0;
-    std::vector<int64_t> uoff;
-    std::vector<int32_t> ulen;
-    std::vector<uint64_t> uhash;
-
-    int32_t intern(const uint8_t* text, int64_t abs_off, int32_t len,
-                   uint64_t h) {
-      size_t i = h & mask;
-      while (slots[i].off >= 0) {
-        if (slots[i].hash == h && slots[i].len == len &&
-            std::memcmp(text + slots[i].off, text + abs_off, size_t(len)) == 0)
-          return slots[i].idx;
-        i = (i + 1) & mask;
-      }
-      int32_t id = int32_t(count);
-      slots[i] = USlot{h, abs_off, len, id};
-      uoff.push_back(abs_off);
-      ulen.push_back(len);
-      uhash.push_back(h);
-      if (++count * 2 >= slots.size()) grow();
-      return id;
-    }
-    void grow() {
-      std::vector<USlot> old;
-      old.swap(slots);
-      slots.assign(old.size() * 2, USlot{});
-      mask = slots.size() - 1;
-      for (auto& s : old) {
-        if (s.off < 0) continue;
-        size_t i = s.hash & mask;
-        while (slots[i].off >= 0) i = (i + 1) & mask;
-        slots[i] = s;
-      }
-    }
-  };
-  std::vector<Local> locals{size_t(n_threads)};
+  int n_threads = split_thread_count();
+  std::vector<LocalWordMap> locals{size_t(n_threads)};
   std::vector<std::vector<int32_t>> doc_refs(static_cast<size_t>(n_docs));
   std::vector<uint8_t> doc_owner(
       static_cast<size_t>(std::max<int64_t>(n_docs, 1)));
-  {
-    std::atomic<int64_t> next(0);
-    auto worker = [&](int t) {
-      Local& loc = locals[size_t(t)];
-      std::vector<std::pair<int64_t, int64_t>> words;
-      while (true) {
-        int64_t d = next.fetch_add(1);
-        if (d >= n_docs) break;
-        doc_owner[size_t(d)] = uint8_t(t);
-        const uint8_t* doc = text + doc_offsets[d];
-        size_t dn = size_t(doc_offsets[d + 1] - doc_offsets[d]);
-        words.clear();
-        split_words(doc, dn, words);
-        auto& refs = doc_refs[size_t(d)];
-        refs.reserve(words.size());
-        for (auto& [sp, ep] : words) {
-          if (ep <= sp) continue;
-          int32_t len = int32_t(ep - sp);
-          uint64_t h = hash_bytes(doc + sp, size_t(len));
-          refs.push_back(loc.intern(text, doc_offsets[d] + sp, len, h));
-        }
-      }
-    };
-    if (n_threads == 1) {
-      worker(0);
-    } else {
-      std::vector<std::thread> pool;
-      for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
-      worker(0);
-      for (auto& th : pool) th.join();
-    }
-  }
+  run_split_intern_workers(text, doc_offsets, n_docs, n_threads, locals,
+                           doc_refs, doc_owner);
 
   // serial merge of the local unique sets into the PERSISTENT map
   int64_t prev_count = interner->count();
@@ -1309,12 +1664,12 @@ int64_t ht_split_intern(Interner* interner, const uint8_t* text,
   std::vector<int32_t> new_len;
   std::vector<std::vector<int32_t>> remap{size_t(n_threads)};
   for (int t = 0; t < n_threads; ++t) {
-    Local& loc = locals[size_t(t)];
+    LocalWordMap& loc = locals[size_t(t)];
     remap[size_t(t)].resize(loc.count);
     for (size_t u = 0; u < loc.count; ++u) {
       int64_t before = interner->count();
-      int64_t gid = interner->intern(text + loc.uoff[u], loc.ulen[u],
-                                     loc.uhash[u]);
+      int64_t gid = interner->intern_keyed(text + loc.uoff[u], loc.ulen[u],
+                                           loc.ulo[u], loc.uhi[u], loc.uh[u]);
       if (gid == before) {  // first-ever sighting
         new_off.push_back(loc.uoff[u]);
         new_len.push_back(loc.ulen[u]);
@@ -1326,26 +1681,8 @@ int64_t ht_split_intern(Interner* interner, const uint8_t* text,
   std::vector<int64_t> dwo(size_t(n_docs) + 1, 0);
   for (int64_t d = 0; d < n_docs; ++d)
     dwo[size_t(d) + 1] = dwo[size_t(d)] + int64_t(doc_refs[size_t(d)].size());
-  int64_t total_words = dwo[size_t(n_docs)];
-  auto* word_gids = static_cast<int32_t*>(
-      malloc(sizeof(int32_t) * std::max<int64_t>(total_words, 1)));
-  {
-    std::atomic<int64_t> next(0);
-    auto remap_worker = [&]() {
-      while (true) {
-        int64_t d = next.fetch_add(1);
-        if (d >= n_docs) break;
-        const auto& rm = remap[doc_owner[size_t(d)]];
-        const auto& refs = doc_refs[size_t(d)];
-        int32_t* dst = word_gids + dwo[size_t(d)];
-        for (size_t i = 0; i < refs.size(); ++i) dst[i] = rm[size_t(refs[i])];
-      }
-    };
-    std::vector<std::thread> pool;
-    for (int t = 1; t < n_threads; ++t) pool.emplace_back(remap_worker);
-    remap_worker();
-    for (auto& th : pool) th.join();
-  }
+  int32_t* word_gids =
+      remap_doc_refs(doc_refs, doc_owner, remap, dwo, n_docs, n_threads);
 
   auto* dwo_out = static_cast<int64_t*>(
       malloc(sizeof(int64_t) * (size_t(n_docs) + 1)));

@@ -92,3 +92,52 @@ def test_native_merges_path(native_engine):
     )
     ne = NativeEngine(ctx)
     assert ne.encode_batch(TEXTS, 2) == [oracle.encode(ctx, t) for t in TEXTS]
+
+
+def test_native_split_simd_fuzz():
+    """The SIMD hybrid splitter (native split_starts_hybrid, used by
+    split_intern/split_dedup) must match the Python golden splitter
+    word-for-word on adversarial class mixes: Hungarian accents,
+    multi-space runs, control chars, emoji/CJK (scalar-region
+    fallback), invalid UTF-8, and 64-byte window straddles."""
+    import numpy as np
+
+    from hutoken_tpu.native import WordInterner, load_native
+    from hutoken_tpu.pretokenize import split_words
+
+    if load_native() is None:
+        pytest.skip("native library not built")
+
+    rng = random.Random(1337)
+    atoms = (
+        list("abcXYZ019 ")
+        + ["  ", "   ", "\t", "\n", "\r", "\x01", "!", "?!", ".",
+           "á", "é", "ű", "Ő", "Ü", "ñ", "ß",  # C3/C5-page 2-byte chars
+           "€", "中", "🙂", "—",               # 3/4-byte: scalar fallback
+           " á", " 1", " !", "a1", "1a", "é9", "ő!"]
+    )
+    docs = []
+    for _ in range(300):
+        n = rng.randrange(0, 200)
+        docs.append("".join(rng.choice(atoms) for _ in range(n)))
+    # exact 64/65/127/128-byte ASCII+accent strings (window straddles)
+    for ln in (63, 64, 65, 127, 128, 129):
+        docs.append(("é" * 40 + "a b" + " " * 30)[:ln])
+        docs.append(("x" * (ln - 1)) + "é")
+
+    # drive the native splitter via the interner and rebuild each doc's
+    # word list from gid spans
+    it = WordInterner()
+    for doc in docs:
+        enc = doc.encode("utf-8")
+        blob = np.frombuffer(enc, dtype=np.uint8) if enc else np.zeros(1, np.uint8)
+        offs = np.array([0, len(enc)], dtype=np.int64)
+        wg, dwo, new_off, new_len, prev = it.split_intern(blob, offs)
+        # spans of all gids seen so far (first occurrences accumulate)
+        if not hasattr(it, "_spans"):
+            it._spans = []
+        for o, l in zip(new_off.tolist(), new_len.tolist()):
+            it._spans.append(enc[o : o + l])
+        got = [it._spans[g] for g in wg.tolist()]
+        want = [w.encode("utf-8") for w in split_words(doc) if w]
+        assert got == want, f"split mismatch on {doc!r}: {got} != {want}"

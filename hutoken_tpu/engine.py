@@ -50,9 +50,10 @@ MAX_DEVICE_LEN = BUCKETS[-1]
 # blocks exit the merge fixed point early.  Launches are asynchronous
 # and synced once, so per-dispatch latency (~25 ms tunneled) amortizes.
 ROW_BLOCKS = {32: 4096, 128: 1024}
-# documents are processed in byte-bounded groups; each group's device
-# blocks are in flight while the host splits the next group
-GROUP_BYTES = 2 << 20
+# documents are processed in byte-bounded groups; the producer thread
+# splits group g+1 while the main thread resolves/launches group g and
+# the drainer downloads finished blocks — smaller groups = finer overlap
+GROUP_BYTES = 1 << 20
 
 
 def _enable_compilation_cache() -> None:
@@ -113,25 +114,45 @@ class TpuTokenizer:
         import os as _os
 
         self._substr_arrays = None
+        self._substr_merges = False
         self._substr_dcap = 0
-        if self.tables.is_byte_encoder and not self.tables.uses_merges:
+        if self.tables.is_byte_encoder:
             force = _os.environ.get("HUTOKEN_TPU_FORCE_RMATRIX") == "1"
             if force or not use_onehot:
-                from .tables import build_substr_table
+                if self.tables.uses_merges:
+                    from .tables import build_substr_table_merges
 
-                st = build_substr_table(ctx)
-                if st is not None:
-                    self._substr_arrays = (
-                        jnp.asarray(st.sh1),
-                        jnp.asarray(st.sh2),
-                        jnp.asarray(st.stid),
-                        jnp.asarray(st.b_ehash1),
-                        jnp.asarray(st.b_pmul1),
-                        jnp.asarray(st.b_ehash2),
-                        jnp.asarray(st.b_pmul2),
-                        st.probe_len,
-                    )
-                    self._substr_dcap = st.d_cap
+                    stm = build_substr_table_merges(ctx)
+                    if stm is not None:
+                        self._substr_arrays = (
+                            jnp.asarray(stm.sh1),
+                            jnp.asarray(stm.sh2),
+                            jnp.asarray(stm.stid),
+                            jnp.asarray(stm.scut),
+                            jnp.asarray(stm.b_ehash1),
+                            jnp.asarray(stm.b_pmul1),
+                            jnp.asarray(stm.b_ehash2),
+                            jnp.asarray(stm.b_pmul2),
+                            stm.probe_len,
+                        )
+                        self._substr_dcap = stm.d_cap
+                        self._substr_merges = True
+                else:
+                    from .tables import build_substr_table
+
+                    st = build_substr_table(ctx)
+                    if st is not None:
+                        self._substr_arrays = (
+                            jnp.asarray(st.sh1),
+                            jnp.asarray(st.sh2),
+                            jnp.asarray(st.stid),
+                            jnp.asarray(st.b_ehash1),
+                            jnp.asarray(st.b_pmul1),
+                            jnp.asarray(st.b_ehash2),
+                            jnp.asarray(st.b_pmul2),
+                            st.probe_len,
+                        )
+                        self._substr_dcap = st.d_cap
         # per-word tokenization cache (exactness-preserving; the reference
         # recomputes every time, caching is a pure speedup).  Token lists
         # live in one flat pool; the dict maps word -> (start, len) so
@@ -164,7 +185,36 @@ class TpuTokenizer:
             self._native_split_ok = load_native() is not None
         except Exception:
             self._native_split_ok = False
+        self._reaper = None
         self._build_decode_fast_path()
+
+    def _retire(self, objs) -> None:
+        """Drop device-array references on a background thread.
+
+        Releasing a jax.Array can issue a synchronous buffer-free RPC
+        (expensive on tunneled backends: measured 0.1-0.3 s bursts when
+        a batch's handles die on the hot path), so the last reference is
+        moved to a reaper thread and dies there.
+        """
+        import queue as _queue
+        import threading
+
+        import os as _os
+
+        if _os.environ.get("HUTOKEN_TPU_NO_REAPER") == "1":
+            return  # drop inline (diagnostics)
+        if self._reaper is None:
+            q: _queue.Queue = _queue.Queue()
+
+            def _reap() -> None:
+                while True:
+                    item = q.get()
+                    del item  # the point: __del__ runs on this thread
+
+            t = threading.Thread(target=_reap, daemon=True)
+            t.start()
+            self._reaper = q
+        self._reaper.put(objs)
 
     def _pool_reserve(self, n: int) -> None:
         need = self._cache_used + n
@@ -412,6 +462,8 @@ class TpuTokenizer:
             sliced.copy_to_host_async()
         except Exception:  # pragma: no cover - backend without async copy
             pass
+        if sliced is not handle:
+            self._retire(handle)  # free the full block off the hot path
         pending.append((sliced, keys, rows, tok_bound))
 
     def _slice_packed(self, handle, rows: int, tok_bound: int):
@@ -443,7 +495,11 @@ class TpuTokenizer:
             # entries are pre-sliced with transfers already in flight
             outs = self._jax.device_get([h for h, _, _, _ in pending])
         if _timing:
-            print(f"[ht-timing]   device_get wait: {_t.perf_counter()-_tw:.3f}s")
+            print(
+                f"[ht-timing]   device_get wait: {_t.perf_counter()-_tw:.3f}s"
+                f" ({len(pending)} launches)"
+            )
+            _tw = _t.perf_counter()
         wcache = self._word_cache
         for (handle, keys, rows, tok_bound), sliced in zip(pending, outs):
             k = len(keys)
@@ -462,6 +518,8 @@ class TpuTokenizer:
                     wb = word_for_key(key)
                     if wb is not None:
                         wcache[wb] = (starts_l[r], counts_l[r])
+        if _timing:
+            print(f"[ht-timing]   extract fill: {_t.perf_counter()-_tw:.3f}s")
 
     def _resolve_generic(self, wb, g, new_ids, res_start, res_len) -> None:
         """Non-byte-fast unique word: seed by elements, bucket for the
@@ -484,16 +542,27 @@ class TpuTokenizer:
     def _encode_core_pipelined(self, texts: list[str], timing, _time):
         """Group-pipelined batch encode (default parser, no prefix).
 
+        Three-stage pipeline over byte-bounded document groups:
+
+        * a PRODUCER thread runs the native split+intern for group g+1
+          (the ctypes call drops the GIL, so it genuinely overlaps),
+        * the MAIN thread resolves new words and launches device merge
+          blocks for group g,
+        * a DRAINER thread device_get's each finished block while later
+          groups are still being split/launched, so the final sync
+          costs ~one in-flight block instead of the whole batch.
+
         Words are interned into a PERSISTENT native word->gid map; only
         first-seen words are resolved (vectorized numpy over the new-gid
-        tail — no per-word Python in the hot path).  Each group's new
-        words pack into fixed-row device blocks launched asynchronously,
-        so the device merges group g while the host splits group g+1;
-        one bulk sync at the end collects all spans.
+        tail — no per-word Python in the hot path).
         """
+        import queue as _queue
+        import threading
+
         from .native import WordInterner, assemble
 
         t0 = _time.perf_counter()
+        t_prep0 = t0
         if self._interner is None:
             self._interner = WordInterner()
         interner = self._interner
@@ -587,17 +656,73 @@ class TpuTokenizer:
             else np.zeros(1, np.uint8)
         )
 
-        t_split = t_resolve = t_launch = 0.0
-        for glo, ghi in groups:
-            tg = _time.perf_counter()
-            g_base = int(all_off[glo])
-            doc_off = all_off[glo : ghi + 1] - g_base
-            blob_np = all_np[g_base:] if g_base else all_np
-            blob = all_blob  # group offsets below are blob_np-relative
-            wg, dwo, new_off, new_len, prev = interner.split_intern(
-                blob_np, doc_off
+        if timing:
+            print(
+                f"[ht-timing] prep: {_time.perf_counter()-t_prep0:.3f}s"
             )
+
+        # producer: split+intern runs one group ahead of the main thread
+        splitq: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def _producer():
+            try:
+                for glo, ghi in groups:
+                    g_base = int(all_off[glo])
+                    doc_off = all_off[glo : ghi + 1] - g_base
+                    blob_np_g = all_np[g_base:] if g_base else all_np
+                    res = interner.split_intern(blob_np_g, doc_off)
+                    splitq.put((g_base, blob_np_g, res))
+                splitq.put(None)
+            except BaseException as e:  # re-raised on the main thread
+                splitq.put(e)
+
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+
+        # drainer: pulls finished device blocks to the host as they land
+        import os as _os
+
+        use_drainer = _os.environ.get("HUTOKEN_TPU_NO_DRAINER") != "1"
+        drainq: _queue.Queue = _queue.Queue()
+        drain_results: dict = {}
+
+        def _drainer():
+            while True:
+                item = drainq.get()
+                if item is None:
+                    return
+                idx, handle = item
+                try:
+                    drain_results[idx] = self._jax.device_get(handle)
+                except BaseException as e:
+                    drain_results[idx] = e
+
+        drainer = None
+        if use_drainer:
+            drainer = threading.Thread(target=_drainer, daemon=True)
+            drainer.start()
+        drained = 0
+
+        def _push_drain() -> None:
+            nonlocal drained
+            if drainer is None:
+                return
+            while drained < len(pending):
+                drainq.put((drained, pending[drained][0]))
+                drained += 1
+
+        t_split = t_resolve = t_launch = 0.0
+        while True:
+            tg = _time.perf_counter()
+            item = splitq.get()
             t_split += _time.perf_counter() - tg
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                drainq.put(None)
+                raise item
+            g_base, blob_np, (wg, dwo, new_off, new_len, prev) = item
+            blob = all_blob  # group offsets below are blob_np-relative
             tg = _time.perf_counter()
 
             n_new = len(new_len)
@@ -653,9 +778,12 @@ class TpuTokenizer:
             t_resolve += _time.perf_counter() - tg
             tg = _time.perf_counter()
             flush(False)
+            _push_drain()
             t_launch += _time.perf_counter() - tg
+        producer.join()
         tg = _time.perf_counter()
         flush(True)
+        _push_drain()
         t_launch += _time.perf_counter() - tg
 
         tg = _time.perf_counter()
@@ -665,12 +793,23 @@ class TpuTokenizer:
         if timing:
             print(
                 f"[ht-timing] split+resolve+launch: {_time.perf_counter()-t0:.3f}s"
-                f" (split {t_split:.3f} resolve {t_resolve:.3f}"
+                f" (split-wait {t_split:.3f} resolve {t_resolve:.3f}"
                 f" launch {t_launch:.3f} host-tail {t_tail:.3f})"
             )
             t0 = _time.perf_counter()
 
-        self._extract_pending(pending, self._gid_start, self._gid_len, None)
+        if drainer is not None:
+            drainq.put(None)
+            drainer.join()
+            for i in range(len(pending)):
+                if isinstance(drain_results.get(i), BaseException):
+                    raise drain_results[i]
+        self._extract_pending(
+            pending, self._gid_start, self._gid_len, None,
+            results=drain_results if (drainer is not None and pending) else None,
+        )
+        self._retire(pending)
+        pending = None
         if timing:
             print(f"[ht-timing] sync+extract: {_time.perf_counter()-t0:.3f}s")
             t0 = _time.perf_counter()
@@ -867,6 +1006,8 @@ class TpuTokenizer:
             return None if glued else wb
 
         self._extract_pending(pending, res_start, res_len, _word_for_key)
+        self._retire(pending)
+        pending = None
         if timing:
             print(f"[ht-timing] sync+extract: {_time.perf_counter()-t_start:.3f}s")
             t_start = _time.perf_counter()
@@ -918,14 +1059,30 @@ class TpuTokenizer:
         self, raw: np.ndarray, lens: np.ndarray, max_len: int = 0
     ):
         if self._substr_arrays is not None:
-            from .ops.rmatrix import merge_words_from_bytes_rmatrix
-
             L = raw.shape[1]
             D = 8  # round the span-length dimension to bound the shape set
+            # spans longer than the longest token spelling (d_cap) can
+            # never resolve, so they can never merge: capping D there is
+            # exact and shrinks R for long-word buckets
             target = max(1, max_len or L)
+            if self._substr_dcap:
+                target = min(target, self._substr_dcap)
             while D < target and D < L:
                 D *= 2
             D = min(D, L)
+            if self._substr_merges:
+                from .ops.rmatrix import merge_words_from_bytes_rmatrix_merges
+
+                return merge_words_from_bytes_rmatrix_merges(
+                    self._substr_arrays,
+                    self._byte_seed_dev,
+                    self._jnp.asarray(raw),
+                    self._jnp.asarray(lens),
+                    D,
+                    self._u16_out,
+                )
+            from .ops.rmatrix import merge_words_from_bytes_rmatrix
+
             return merge_words_from_bytes_rmatrix(
                 self._substr_arrays,
                 self._byte_seed_dev,

@@ -73,6 +73,19 @@ def initialize(model_or_path: str, *args: Any, **kwargs: Any):
     _backend = kwargs.pop("backend", os.environ.get("HUTOKEN_TPU_BACKEND", "auto"))
 
     if os.path.isfile(model_or_path):
+        # the reference binding parses a fixed keyword list and CPython
+        # raises TypeError for anything else (src/lib.c:188-205); a
+        # silently-dropped misspelling (e.g. special_file_path=) would
+        # otherwise produce wrong ids with no signal
+        unknown = set(kwargs) - {
+            "prefix", "is_byte_encoder", "token_id", "pattern",
+            "merges_file_path",
+        }
+        if unknown:
+            raise TypeError(
+                f"'{sorted(unknown)[0]}' is an invalid keyword argument "
+                "for initialize()"
+            )
         special_chars_file = args[0] if args else None
         merges_file = kwargs.get("merges_file_path", None)
         if len(args) > 6 and merges_file is None:

@@ -64,14 +64,17 @@ def _row_gather(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _resolve_spans(
-    sh1, sh2, stid, k1, k2, probe_len: int, cap_mask: int
-) -> jnp.ndarray:
+    sh1, sh2, stid, k1, k2, probe_len: int, cap_mask: int, scut=None
+):
     """Open-addressed lookup of span double-hashes -> token id (-1 miss).
 
     Same bounded linear probing as ops.merge.probe_pairs; slot index is
     the pair-mix of the two hashes (must match tables._mix_hash).  A
     sort-merge join resolve was exact but took minutes to compile on
     the remote compiler; this probe compiles like the proven kernels.
+
+    With ``scut`` also gathers the merges-path cut value of the hit slot
+    (0 on miss); returns (tid, cut) then, tid alone otherwise.
     """
     shape = k1.shape
     k1f = k1.reshape(-1)
@@ -100,24 +103,34 @@ def _resolve_spans(
     # empty slots carry stid = -1, so a (0,0)-hash span that "hits" an
     # empty slot still resolves to miss
     tid = fast_gather(stid, slot_hit)
-    return jnp.where(found, tid, -1).reshape(shape)
+    tid = jnp.where(found, tid, -1).reshape(shape)
+    if scut is None:
+        return tid
+    cut = fast_gather(scut, slot_hit)
+    cut = jnp.where(found, cut, 0).reshape(shape)
+    return tid, cut
 
 
 def _build_r(
     sh1, sh2, stid, eh1, pm1, eh2, pm2, ids, lens,
-    D: int, probe_len: int, cap_mask: int,
-) -> jnp.ndarray:
+    D: int, probe_len: int, cap_mask: int, scut=None,
+):
     """Build R (flattened to [W, L*D]) for one block.
 
     eh*/pm* are the per-element hash constants [W, L]; ids are the seed
     ids (d=1 diagonal); lens the element counts.  Span hashes stay in
     span order, so R assembles with a stack — no scatter needed.
+
+    With ``scut`` (merges path), also returns CUT [W, L*D]: the
+    producing rule's left-side element count for each span's token
+    (0 = that token is not any rule's output; d = 1 plane is 0).
     """
     W, L = ids.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
 
     # d = 1 plane: the seed ids themselves (INF at padding)
     planes = [jnp.where(col < lens[:, None], ids, INF_RANK)]
+    cut_planes = [jnp.zeros((W, L), dtype=jnp.int32)]
 
     h1 = eh1
     h2 = eh2
@@ -131,17 +144,35 @@ def _build_r(
     if ch1:
         K1 = jnp.stack(ch1)  # [D-1, W, L]
         K2 = jnp.stack(ch2)
-        tid = _resolve_spans(sh1, sh2, stid, K1, K2, probe_len, cap_mask)
+        if scut is None:
+            tid = _resolve_spans(sh1, sh2, stid, K1, K2, probe_len, cap_mask)
+            cut = None
+        else:
+            tid, cut = _resolve_spans(
+                sh1, sh2, stid, K1, K2, probe_len, cap_mask, scut
+            )
         dvec = jnp.arange(2, D + 1, dtype=jnp.int32)[:, None, None]
         validc = (col[None] + dvec) <= lens[None, :, None]
         rank = jnp.where(validc & (tid >= 0), tid, INF_RANK)
         planes.extend(rank[i] for i in range(D - 1))
+        if scut is not None:
+            cutv = jnp.where(validc & (tid >= 0), cut, 0)
+            cut_planes.extend(cutv[i] for i in range(D - 1))
 
-    return jnp.stack(planes, axis=2).reshape(W, L * D)
+    R = jnp.stack(planes, axis=2).reshape(W, L * D)
+    if scut is None:
+        return R
+    return R, jnp.stack(cut_planes, axis=2).reshape(W, L * D)
 
 
-def _merge_fixed_point_r(R: jnp.ndarray, lens: jnp.ndarray, D: int):
-    """Greedy merge over spans (start, count) with ranks from R."""
+def _merge_fixed_point_r(R: jnp.ndarray, lens: jnp.ndarray, D: int, CUT=None):
+    """Greedy merge over spans (start, count) with ranks from R.
+
+    With ``CUT`` (merges path) a boundary is mergeable only when the
+    combined span's token is produced by a rule whose left side is
+    exactly the left span (CUT[st, d] == left count) — see
+    tables.SubstrMergesTable for why this characterizes rule existence.
+    """
     W = R.shape[0]
     L = R.shape[1] // D
     col = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
@@ -154,6 +185,8 @@ def _merge_fixed_point_r(R: jnp.ndarray, lens: jnp.ndarray, D: int):
         valid = (ln > 0) & (ln_r > 0) & (d <= D)
         idx = jnp.clip(st * D + d - 1, 0, L * D - 1)
         r = _row_gather(R, idx)
+        if CUT is not None:
+            valid = valid & (_row_gather(CUT, idx) == ln)
         return jnp.where(valid, r, INF_RANK)
 
     def cond(state):
@@ -224,6 +257,48 @@ def merge_words_from_bytes_rmatrix(
     sh1, sh2, stid, b_eh1, b_pm1, b_eh2, b_pm2, probe_len = substr_arrays
     return _merge_bytes_rmatrix(
         sh1, sh2, stid, byte_seed, b_eh1, b_pm1, b_eh2, b_pm2,
+        raw, lens, D=D, probe_len=probe_len,
+        cap_mask=sh1.shape[0] - 1, u16_out=u16_out,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("D", "probe_len", "cap_mask", "u16_out")
+)
+def _merge_bytes_rmatrix_merges(
+    sh1, sh2, stid, scut, byte_seed, b_eh1, b_pm1, b_eh2, b_pm2,
+    raw, lens, D, probe_len, cap_mask, u16_out,
+):
+    W, L = raw.shape
+    rawi = raw.astype(jnp.int32)
+    ids = fast_gather(byte_seed, rawi)
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
+    ids = jnp.where(col < lens[:, None], ids, -1)
+    eh1 = fast_gather(b_eh1, rawi)
+    pm1 = fast_gather(b_pm1, rawi)
+    eh2 = fast_gather(b_eh2, rawi)
+    pm2 = fast_gather(b_pm2, rawi)
+    R, CUT = _build_r(
+        sh1, sh2, stid, eh1, pm1, eh2, pm2, ids, lens,
+        D, probe_len, cap_mask, scut=scut,
+    )
+    out = _merge_fixed_point_r(R, lens, D, CUT=CUT)
+    return _compact_output(out, jnp.uint16 if u16_out else jnp.int32)
+
+
+def merge_words_from_bytes_rmatrix_merges(
+    substr_arrays, byte_seed, raw, lens, D: int, u16_out: bool
+):
+    """Merges/id-path R-matrix kernel (GPT-2-scale rule tables); same
+    packed output contract as ops.merge.merge_words_from_bytes_packed.
+    Reference semantics: src/core.c:211-337 (greedy by (rule rank,
+    leftmost)); rank order is represented by merged-id order, which
+    tables.build_substr_table_merges verifies is equivalent."""
+    (sh1, sh2, stid, scut, b_eh1, b_pm1, b_eh2, b_pm2, probe_len) = (
+        substr_arrays
+    )
+    return _merge_bytes_rmatrix_merges(
+        sh1, sh2, stid, scut, byte_seed, b_eh1, b_pm1, b_eh2, b_pm2,
         raw, lens, D=D, probe_len=probe_len,
         cap_mask=sh1.shape[0] - 1, u16_out=u16_out,
     )

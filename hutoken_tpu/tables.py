@@ -288,6 +288,165 @@ def build_substr_table(
 
 
 @dataclass
+class SubstrMergesTable:
+    """Substring-table form of the merges/id path (src/core.c:211-337 fed
+    by src/lib.c:573-663) for GPT-2-scale rule sets, where the one-hot
+    MXU probe's [N, C] contraction stops paying (capacity gate
+    ops/merge.py:ONEHOT_MAX_CAPACITY).
+
+    Requires two structural properties that every really-trained BPE
+    vocab+merges pair has (verified at build; fall back to the probe
+    kernel otherwise):
+
+    1. *rank/id alignment*: merged ids strictly increase with rule rank,
+       so comparing merged ids IS comparing ranks (same argmin, same
+       leftmost tie-break as the reference's (rank, index) order);
+    2. *unique producer*: each merged token is produced by exactly one
+       rule, so a pair (A, B) has a rule iff the concatenated spelling
+       is a vocab token M whose producing split is exactly |A| elements.
+
+    The kernel then needs only two per-span tables: the token id of each
+    span's spelling (same as the string-path R-matrix) and ``scut`` —
+    the producing rule's left-side length in seed elements (0 = no rule
+    produces this token).  A boundary (span1, span2) has a rule iff
+    tok(span1 ∪ span2) exists and cut == len(span1)."""
+
+    sh1: np.ndarray
+    sh2: np.ndarray
+    stid: np.ndarray
+    scut: np.ndarray  # int32 [C]: producing-rule left length in elements
+    probe_len: int
+    d_cap: int
+    b_ehash1: np.ndarray
+    b_pmul1: np.ndarray
+    b_ehash2: np.ndarray
+    b_pmul2: np.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return int(self.sh1.shape[0])
+
+
+def _char_count(spelling: bytes) -> int:
+    n = 0
+    i = 0
+    while i < len(spelling):
+        i += utf8_char_length(spelling[i])
+        n += 1
+    return n
+
+
+def build_substr_table_merges(
+    ctx: TokenizerContext, max_probe_len: int = 4
+) -> Optional[SubstrMergesTable]:
+    """Build the merges-path substring table; None when the rule set
+    lacks the structure (see SubstrMergesTable) or there is no byte
+    encoder (the per-byte hash composition needs 1 byte = 1 element)."""
+    if ctx.merges is None or not ctx.is_byte_encoder:
+        return None
+    str2id = ctx.vocab.str2id
+    id2str = ctx.vocab.id2str
+    if len(set(id2str.values())) != len(id2str):
+        # duplicate spellings: resolution-by-spelling could pick a
+        # different id than the rule names — probe kernel handles it
+        return None
+
+    # verify rank/id alignment + unique producer; collect cut lengths
+    rules = sorted(ctx.merges.rules.items(), key=lambda kv: kv[1][0])
+    cut_of_id: dict[int, int] = {}
+    prev_merged = -1
+    for (a, b), (rank, merged) in rules:
+        if merged <= prev_merged:
+            return None  # ids not rank-ordered: probe kernel handles it
+        prev_merged = merged
+        if merged in cut_of_id:
+            return None  # two rules produce the same token
+        left_sp = id2str.get(a)
+        right_sp = id2str.get(b)
+        merged_sp = id2str.get(merged)
+        if left_sp is None or right_sp is None or merged_sp is None:
+            return None
+        if left_sp + right_sp != merged_sp:
+            return None  # rule output is not the concatenation
+        cut_of_id[merged] = _char_count(left_sp)
+
+    seen: dict[tuple[int, int], int] = {}
+    d_cap = 1
+    for token, tid in str2id.items():
+        k = _spelling_hashes(token)
+        if k == (0, 0) or k in seen:
+            return None  # double-hash collision: fall back
+        seen[k] = tid
+        if tid in cut_of_id:
+            d_cap = max(d_cap, _char_count(token))
+
+    n = max(len(seen), 1)
+    cap = 1
+    while cap < 2 * n:
+        cap *= 2
+    while True:
+        sh1 = np.zeros(cap, dtype=np.uint32)
+        sh2 = np.zeros(cap, dtype=np.uint32)
+        stid = np.full(cap, -1, dtype=np.int32)
+        scut = np.zeros(cap, dtype=np.int32)
+        mask = cap - 1
+        max_disp = 0
+        ok = True
+        for (h1, h2), tid in seen.items():
+            s = int(_mix_hash(np.uint32(h1), np.uint32(h2))) & mask
+            disp = 0
+            while stid[s] != -1:
+                s = (s + 1) & mask
+                disp += 1
+                if disp > 64:
+                    ok = False
+                    break
+            if not ok:
+                break
+            sh1[s] = h1
+            sh2[s] = h2
+            stid[s] = tid
+            scut[s] = cut_of_id.get(tid, 0)
+            max_disp = max(max_disp, disp)
+        if ok and max_disp + 1 > max_probe_len and cap < (1 << 24):
+            ok = False
+        if ok:
+            break
+        cap *= 2
+
+    b_eh1 = np.zeros(256, dtype=np.int64)
+    b_pm1 = np.zeros(256, dtype=np.int64)
+    b_eh2 = np.zeros(256, dtype=np.int64)
+    b_pm2 = np.zeros(256, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for b in range(256):
+            spelled = encode_remap(bytes([b]), ctx.special_chars, None, True)
+            e1, e2 = _spelling_hashes(spelled)
+            b_eh1[b] = e1
+            b_eh2[b] = e2
+            p1 = np.uint32(1)
+            p2 = np.uint32(1)
+            for _ in spelled:
+                p1 *= P1
+                p2 *= P2
+            b_pm1[b] = int(p1)
+            b_pm2[b] = int(p2)
+
+    return SubstrMergesTable(
+        sh1=sh1.view(np.int32),
+        sh2=sh2.view(np.int32),
+        stid=stid,
+        scut=scut,
+        probe_len=max_disp + 1,
+        d_cap=d_cap,
+        b_ehash1=np.array(b_eh1 & 0xFFFFFFFF, dtype=np.uint32).view(np.int32),
+        b_pmul1=np.array(b_pm1 & 0xFFFFFFFF, dtype=np.uint32).view(np.int32),
+        b_ehash2=np.array(b_eh2 & 0xFFFFFFFF, dtype=np.uint32).view(np.int32),
+        b_pmul2=np.array(b_pm2 & 0xFFFFFFFF, dtype=np.uint32).view(np.int32),
+    )
+
+
+@dataclass
 class EncoderTables:
     pair_table: PairTable
     # byte mode: byte value -> list of seed element ids (usually length 1;

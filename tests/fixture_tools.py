@@ -156,20 +156,13 @@ def write_char_mode_fixture() -> tuple[str, str]:
     return vocab_path, special_path
 
 
-def write_big_vocab_fixture(target_size: int = 50257) -> tuple[str, str]:
-    """A GPT-2-scale byte-level vocab (≈50k tokens) for big-table
-    benchmarking: 256 byte seeds plus per-word prefix chains over a large
-    word-form list (every multi-char token splits into in-vocab halves,
-    like a trained BPE vocab; ids are creation-ordered)."""
-    import string as _string
-
-    os.makedirs(FIXTURE_DIR, exist_ok=True)
-    vocab_path = os.path.join(FIXTURE_DIR, "bigvocab-vocab.txt")
-    special_path = os.path.join(FIXTURE_DIR, "bigvocab-vocab_special_chars.txt")
-    if os.path.exists(vocab_path) and os.path.exists(special_path):
-        return vocab_path, special_path
-
+def _big_vocab_tokens(target_size: int = 50257) -> dict[bytes, int]:
+    """Deterministic GPT-2-scale token set: 256 byte seeds plus per-word
+    prefix chains over a large word-form list (every multi-char token
+    splits into in-vocab halves, like a trained BPE vocab; ids are
+    creation-ordered)."""
     import random
+    import string as _string
 
     rng = random.Random(7)
     base_words = sorted(set(_BASE_TEXT.split()))
@@ -199,7 +192,19 @@ def write_big_vocab_fixture(target_size: int = 50257) -> tuple[str, str]:
                 break
         if next_id >= target_size:
             break
+    return tokens
 
+
+def write_big_vocab_fixture(target_size: int = 50257) -> tuple[str, str]:
+    """A GPT-2-scale byte-level vocab (≈50k tokens) for big-table
+    benchmarking (string path: pair rank = concat's vocab id)."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    vocab_path = os.path.join(FIXTURE_DIR, "bigvocab-vocab.txt")
+    special_path = os.path.join(FIXTURE_DIR, "bigvocab-vocab_special_chars.txt")
+    if os.path.exists(vocab_path) and os.path.exists(special_path):
+        return vocab_path, special_path
+
+    tokens = _big_vocab_tokens(target_size)
     b2u = gpt2_bytes_to_unicode()
     with open(vocab_path, "w", encoding="utf-8") as f:
         for tok, idx in sorted(tokens.items(), key=lambda kv: kv[1]):
@@ -208,6 +213,37 @@ def write_big_vocab_fixture(target_size: int = 50257) -> tuple[str, str]:
             f.write(f"{hex_token} == {idx}\n")
     write_special_chars_file(special_path, gpt2_special_chars_table())
     return vocab_path, special_path
+
+
+def write_big_merges_fixture(target_size: int = 50257) -> str:
+    """merges.txt matching the big vocab: every multi-byte token t whose
+    parent t[:-1] is in the vocab gets rule (t[:-1], t[-1:]) at a rank
+    equal to its creation order — rank order == merged-id order and one
+    rule per output token, like a really-trained GPT-2 merges file
+    (reference format: src/lib.c:573-663)."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    merges_path = os.path.join(FIXTURE_DIR, "bigvocab-merges.txt")
+    if os.path.exists(merges_path):
+        return merges_path
+    # derive from the committed vocab file so the rules always match it
+    vocab_path, _ = write_big_vocab_fixture(target_size)
+    spelled_by_id: dict[int, str] = {}
+    with open(vocab_path, "r", encoding="utf-8") as f:
+        for line in f:
+            hexes, _, idx = line.rstrip("\n").partition(" == ")
+            raw = bytes(
+                int(hexes[i + 2 : i + 4], 16) for i in range(0, len(hexes), 4)
+            )
+            spelled_by_id[int(idx)] = raw.decode("utf-8")
+    spellings = set(spelled_by_id.values())
+    with open(merges_path, "w", encoding="utf-8") as f:
+        f.write("#version: fixture-big\n")
+        for idx in sorted(spelled_by_id):
+            sp = spelled_by_id[idx]
+            if idx < 256 or len(sp) < 2 or sp[:-1] not in spellings:
+                continue
+            f.write(f"{sp[:-1]} {sp[-1]}\n")
+    return merges_path
 
 
 def tiktoken_encoding():

@@ -8,9 +8,9 @@ metric the driver records:
 Baseline target: 100 MB/s/chip byte-level BPE encode (BASELINE.json).
 
 Configurations:
-  * ``big-vocab``  — 50k-scale string-path vocab (R-matrix kernel),
+  * ``big-vocab``  — 50k-scale string-path vocab (packed gather probe),
   * ``big-merges`` — 50k-scale merges.txt/id path (the config every
-    real GPT-2 import runs; R-matrix merges kernel),
+    real GPT-2 import runs; packed gather probe),
   * ``small`` (headline) — the trained fixture vocab, 8 MB corpus,
     reported as the best of 3 cold runs (the host is a noisy shared
     VM; each run fully resets the word cache, so every run is cold).
@@ -137,6 +137,53 @@ def run_child(config: str, mb: float, check: bool) -> None:
             got = flat[offs[i] : offs[i + 1]].tolist()
             assert got == want, "conformance failure vs oracle"
 
+    if config == "small":
+        # decode throughput (reference benchmark measures both sides:
+        # scripts/benchmark.py:59-139); input = this corpus's tokens
+        token_lists = [
+            flat[offs[i] : offs[i + 1]].tolist() for i in range(len(docs))
+        ]
+        def _dec_arrays():
+            return engine.decode_arrays(flat, offs)
+
+        def _dec_device():
+            return engine.decode_batch_device(token_lists)
+
+        def _dec_lists():
+            return engine.decode_batch(token_lists)
+
+        for label, fn in (
+            ("host numpy, arrays API", _dec_arrays),
+            ("native C++, list API", _dec_lists),
+            ("device kernel", _dec_device),
+        ):
+            try:
+                fn()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    out = fn()
+                    best = min(best, time.perf_counter() - t0)
+                if check and "arrays" not in label:
+                    assert out[0] == docs[0] and out[-1] == docs[-1]
+                dmbps = total_bytes / best / 1e6
+                print(
+                    json.dumps(
+                        {
+                            "metric": (
+                                "byte-level BPE decode throughput, "
+                                f"1 chip, fixture vocab ({label})"
+                            ),
+                            "value": round(dmbps, 2),
+                            "unit": "MB/s",
+                            "vs_baseline": round(dmbps / BASELINE, 3),
+                        }
+                    ),
+                    flush=True,
+                )
+            except Exception as e:  # pragma: no cover - report, don't fail
+                sys.stderr.write(f"decode bench ({label}) failed: {e}\n")
+
     print(
         json.dumps(
             {
@@ -155,6 +202,7 @@ def _spawn(config: str, mb: float, check: bool, timeout: float) -> bool:
            "--mb", str(mb)]
     if check:
         cmd.append("--check")
+    got_headline = False
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout,
@@ -163,11 +211,13 @@ def _spawn(config: str, mb: float, check: bool, timeout: float) -> bool:
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)
-                return True
-        sys.stderr.write(proc.stderr[-2000:] + "\n")
+                if json.loads(line)["metric"] == _metric_name(config):
+                    got_headline = True
+        if not got_headline:
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
     except subprocess.TimeoutExpired:
         sys.stderr.write(f"bench: {config} child timed out\n")
-    return False
+    return got_headline
 
 
 def _host_fallback(mb: float) -> None:

@@ -82,7 +82,14 @@ class TpuTokenizer:
     used directly for multi-tokenizer or sharded workloads.
     """
 
-    def __init__(self, ctx: TokenizerContext, *, interpret: bool = False):
+    def __init__(
+        self, ctx: TokenizerContext, *, interpret: bool = False, mesh=None
+    ):
+        """``mesh``: an optional ``jax.sharding.Mesh``; when given, every
+        device block launch is sharded over the mesh's first axis (rows
+        of the padded word block = the embarrassingly parallel axis) and
+        all tables are replicated per device — the multi-chip form of
+        the reference's pthread pool (src/taskqueue.c)."""
         import jax  # deferred so host-only paths never require a device
         import jax.numpy as jnp
 
@@ -92,47 +99,86 @@ class TpuTokenizer:
         _enable_compilation_cache()
         self._jax = jax
         self._jnp = jnp
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            self._sh_repl = NamedSharding(mesh, PartitionSpec())
+            self._sh_rows = NamedSharding(mesh, PartitionSpec(axis, None))
+            self._sh_vec = NamedSharding(mesh, PartitionSpec(axis))
+
+        def _table(x):
+            arr = jnp.asarray(x)
+            return (
+                jax.device_put(arr, self._sh_repl) if mesh is not None else arr
+            )
+
+        self._put_table = _table
         self.ctx = ctx
         self.tables: EncoderTables = build_encoder_tables(ctx)
         pt = self.tables.pair_table
-        # the one-hot MXU probe relies on XLA fusing the [N, C] one_hot
-        # into the contraction; CPU XLA materializes it, so gate on a
-        # real accelerator backend
-        use_onehot = pt.onehot_ok and jax.default_backend() != "cpu"
-        self.table_arrays = (
-            jnp.asarray(pt.left),
-            jnp.asarray(pt.right),
-            jnp.asarray(pt.rank),
-            jnp.asarray(pt.merged),
-            pt.probe_len,
-            pt.capacity - 1,
-            use_onehot,
-        )
-        # big-vocab string path: the R-matrix kernel (ops/rmatrix.py)
-        # replaces per-round table probes with one sort-merge join; the
-        # one-hot probe kernel stays the fast path for small tables
         import os as _os
 
+        from .ops.merge import MODE_ONEHOT, MODE_PACKED, MODE_PROBE
+
+        force_rmatrix = _os.environ.get("HUTOKEN_TPU_FORCE_RMATRIX") == "1"
+        # the one-hot MXU probe relies on XLA fusing the [N, C] one_hot
+        # into the contraction; CPU XLA materializes it, so gate on a
+        # real accelerator backend.  Beyond the one-hot capacity gate,
+        # GPT-2-scale tables with 16-bit-packable ids take the packed
+        # gather probe (measured 7-15x faster per block than the
+        # R-matrix resolve at 500k slots); the R-matrix serves big
+        # vocabs whose ids overflow 16 bits (e.g. 100k+ vocabularies).
+        if pt.onehot_ok and jax.default_backend() != "cpu":
+            mode = MODE_ONEHOT
+        elif pt.packed_ok and not force_rmatrix:
+            mode = MODE_PACKED
+        else:
+            mode = MODE_PROBE
+        if mode == MODE_PACKED:
+            pkey, pval = pt.packed_arrays()
+            zero = np.zeros(1, dtype=np.int32)
+            self.table_arrays = (
+                _table(pkey),
+                _table(pval),
+                _table(zero),
+                _table(zero),
+                pt.probe_len,
+                pt.capacity - 1,
+                MODE_PACKED,
+            )
+        else:
+            self.table_arrays = (
+                _table(pt.left),
+                _table(pt.right),
+                _table(pt.rank),
+                _table(pt.merged),
+                pt.probe_len,
+                pt.capacity - 1,
+                mode,
+            )
+        # big-vocab fallbacks: the R-matrix kernel (ops/rmatrix.py)
+        # replaces per-round table probes with per-span resolution
         self._substr_arrays = None
         self._substr_merges = False
         self._substr_dcap = 0
         if self.tables.is_byte_encoder:
-            force = _os.environ.get("HUTOKEN_TPU_FORCE_RMATRIX") == "1"
-            if force or not use_onehot:
+            if force_rmatrix or mode == MODE_PROBE:
                 if self.tables.uses_merges:
                     from .tables import build_substr_table_merges
 
                     stm = build_substr_table_merges(ctx)
                     if stm is not None:
                         self._substr_arrays = (
-                            jnp.asarray(stm.sh1),
-                            jnp.asarray(stm.sh2),
-                            jnp.asarray(stm.stid),
-                            jnp.asarray(stm.scut),
-                            jnp.asarray(stm.b_ehash1),
-                            jnp.asarray(stm.b_pmul1),
-                            jnp.asarray(stm.b_ehash2),
-                            jnp.asarray(stm.b_pmul2),
+                            _table(stm.sh1),
+                            _table(stm.sh2),
+                            _table(stm.stid),
+                            _table(stm.scut),
+                            _table(stm.b_ehash1),
+                            _table(stm.b_pmul1),
+                            _table(stm.b_ehash2),
+                            _table(stm.b_pmul2),
                             stm.probe_len,
                         )
                         self._substr_dcap = stm.d_cap
@@ -143,13 +189,13 @@ class TpuTokenizer:
                     st = build_substr_table(ctx)
                     if st is not None:
                         self._substr_arrays = (
-                            jnp.asarray(st.sh1),
-                            jnp.asarray(st.sh2),
-                            jnp.asarray(st.stid),
-                            jnp.asarray(st.b_ehash1),
-                            jnp.asarray(st.b_pmul1),
-                            jnp.asarray(st.b_ehash2),
-                            jnp.asarray(st.b_pmul2),
+                            _table(st.sh1),
+                            _table(st.sh2),
+                            _table(st.stid),
+                            _table(st.b_ehash1),
+                            _table(st.b_pmul1),
+                            _table(st.b_ehash2),
+                            _table(st.b_pmul2),
                             st.probe_len,
                         )
                         self._substr_dcap = st.d_cap
@@ -170,7 +216,7 @@ class TpuTokenizer:
         # byte-mode fast-path support arrays
         self._u16_out = self.tables.vocab_size < 0xFFFF
         if self.tables.byte_seed_ids is not None:
-            self._byte_seed_dev = jnp.asarray(self.tables.byte_seed_ids)
+            self._byte_seed_dev = _table(self.tables.byte_seed_ids)
             # single-byte words bypass the device entirely
             self._single_byte_ids = [
                 np.array([int(self.tables.byte_seed_ids[b])], dtype=np.int32)
@@ -1048,11 +1094,21 @@ class TpuTokenizer:
                 np.full((rows, b), -1, dtype=np.int32)
             ).block_until_ready()
 
+    def _place_rows(self, arr: np.ndarray):
+        if self._mesh is not None:
+            return self._jax.device_put(arr, self._sh_rows)
+        return self._jnp.asarray(arr)
+
+    def _place_vec(self, arr: np.ndarray):
+        if self._mesh is not None:
+            return self._jax.device_put(arr, self._sh_vec)
+        return self._jnp.asarray(arr)
+
     def _merge_block(self, block: np.ndarray):
         from .ops.merge import merge_words_packed
 
         return merge_words_packed(
-            self.table_arrays, self._jnp.asarray(block), False
+            self.table_arrays, self._place_rows(block), False
         )
 
     def _merge_bytes_block(
@@ -1076,8 +1132,8 @@ class TpuTokenizer:
                 return merge_words_from_bytes_rmatrix_merges(
                     self._substr_arrays,
                     self._byte_seed_dev,
-                    self._jnp.asarray(raw),
-                    self._jnp.asarray(lens),
+                    self._place_rows(raw),
+                    self._place_vec(lens),
                     D,
                     self._u16_out,
                 )
@@ -1086,8 +1142,8 @@ class TpuTokenizer:
             return merge_words_from_bytes_rmatrix(
                 self._substr_arrays,
                 self._byte_seed_dev,
-                self._jnp.asarray(raw),
-                self._jnp.asarray(lens),
+                self._place_rows(raw),
+                self._place_vec(lens),
                 D,
                 self._u16_out,
             )
@@ -1096,8 +1152,8 @@ class TpuTokenizer:
         return merge_words_from_bytes_packed(
             self.table_arrays,
             self._byte_seed_dev,
-            self._jnp.asarray(raw),
-            self._jnp.asarray(lens),
+            self._place_rows(raw),
+            self._place_vec(lens),
             self._u16_out,
         )
 
@@ -1119,7 +1175,23 @@ class TpuTokenizer:
         self._decode_fast = fast
 
     def decode_batch(self, token_lists: list[list[int]]) -> list[str]:
+        import os as _os
+
         V = self.tables.vocab_size
+        if (
+            self._decode_fast
+            and self.ctx.prefix is None
+            and token_lists
+            and _os.environ.get("HUTOKEN_TPU_DECODE") == "device"
+        ):
+            return self.decode_batch_device(token_lists)
+        # the native C++ decoder (threaded per-doc concat + reverse scan)
+        # beats the numpy flat path ~10x on list-of-lists inputs; exact
+        # parity is tested in tests/test_native.py
+        if token_lists and self._native_split_ok:
+            nat = self._native_word_encoder()
+            if nat is not None:
+                return nat.decode_batch(token_lists, num_threads=2)
         if self._decode_fast and self.ctx.prefix is None and token_lists:
             return self._decode_batch_flat(token_lists)
         out: list[str] = []
@@ -1145,15 +1217,119 @@ class TpuTokenizer:
                 )
         return out
 
+    # decode on the device (SURVEY §7 step 3: lens-gather + concat +
+    # reverse remap as array ops; reference src/core.c:513-581)
+    DEC_BLOCK = 1 << 16
+
+    def _ensure_decode_device(self) -> None:
+        if getattr(self, "_dec_tables", None) is not None:
+            return
+        jnp = self._jnp
+        t = self.tables
+        self._dec_tables = (
+            jnp.asarray(t.token_bytes),
+            jnp.asarray(t.token_lens),
+            jnp.asarray(self._pat1),
+            jnp.asarray(self._pat2),
+        )
+        # chars per token = decoded bytes per token (one output byte per
+        # char start) — known host-side, so only the packed byte stream
+        # ever downloads
+        rows = t.token_bytes
+        col = np.arange(rows.shape[1], dtype=np.int32)[None, :]
+        valid = col < t.token_lens[:, None]
+        self._dec_counts = (
+            ((rows & 0xC0) != 0x80) & valid
+        ).sum(axis=1).astype(np.int64)
+
+    def decode_batch_device(self, token_lists: list[list[int]]) -> list[str]:
+        """Device decode (byte-encoder fast configs, no prefix): id
+        blocks up, packed reverse-remapped byte stream down; launches
+        are asynchronous with prefix-sliced downloads like the encode
+        path.  Exactness guarded by tests vs the oracle decode."""
+        if not (self._decode_fast and self.ctx.prefix is None):
+            return self.decode_batch(token_lists)
+        V = self.tables.vocab_size
+        counts = np.fromiter(
+            map(len, token_lists), dtype=np.int64, count=len(token_lists)
+        )
+        total = int(counts.sum())
+        if total == 0:
+            return ["" for _ in token_lists]
+        flat = np.concatenate(
+            [np.asarray(t, dtype=np.int64) for t in token_lists if t]
+        )
+        if flat.min() < 0 or flat.max() >= V:
+            raise ValueError(
+                "Element must be non-negative and less than vocab size."
+            )
+        self._ensure_decode_device()
+        from .ops.decode import decode_ids_block
+        from .ops.merge import slice_prefix
+
+        flat32 = flat.astype(np.int32)
+        byte_counts = self._dec_counts[flat]
+        pending = []
+        lo = 0
+        while lo < total:
+            hi = min(lo + self.DEC_BLOCK, total)
+            blk = flat32[lo:hi]
+            if hi - lo < self.DEC_BLOCK:
+                blk = np.concatenate(
+                    [blk, np.zeros(self.DEC_BLOCK - (hi - lo), np.int32)]
+                )
+            out = decode_ids_block(self._dec_tables, self._jnp.asarray(blk))
+            nbytes = int(byte_counts[lo:hi].sum())
+            GRAN = 1 << 15
+            need = min(-(-nbytes // GRAN) * GRAN, int(out.shape[0]))
+            sliced = (
+                slice_prefix(out, need) if need < out.shape[0] else out
+            )
+            try:
+                sliced.copy_to_host_async()
+            except Exception:  # pragma: no cover
+                pass
+            pending.append((sliced, nbytes))
+            lo = hi
+        outs = self._jax.device_get([h for h, _ in pending])
+        self._retire(pending)
+        parts = [np.asarray(o)[:n] for o, n in zip(outs, [n for _, n in pending])]
+        blob = b"".join(p.tobytes() for p in parts)
+
+        # per-doc byte boundaries from host-known char counts
+        cum = np.concatenate(([0], np.cumsum(byte_counts)))
+        tok_ends = np.cumsum(counts)
+        ends = cum[tok_ends]
+        starts = cum[tok_ends - counts]
+        return [
+            blob[starts[i] : ends[i]].decode("utf-8")
+            for i in range(len(token_lists))
+        ]
+
     def _decode_batch_flat(self, token_lists: list[list[int]]) -> list[str]:
         """One flat vectorized pass over the whole batch (no-prefix,
         single-char-pattern byte mode): detokenize + reverse remap with
         zero per-document numpy work."""
-        V = self.tables.vocab_size
         counts = np.array([len(t) for t in token_lists], dtype=np.int64)
         flat = np.concatenate(
             [np.asarray(t, dtype=np.int64) for t in token_lists if t]
         ) if counts.sum() else np.zeros(0, dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        blob, out_offs = self.decode_arrays(flat, offs)
+        return [
+            blob[out_offs[i] : out_offs[i + 1]].decode("utf-8")
+            for i in range(len(token_lists))
+        ]
+
+    def decode_arrays(
+        self, flat: np.ndarray, doc_offs: np.ndarray
+    ) -> tuple[bytes, np.ndarray]:
+        """Array-form batch decode (the TPU-serving shape): flat token
+        ids + doc offsets -> (decoded byte blob, per-doc byte offsets).
+        Host vectorized fast path; requires the byte-encoder fast config
+        (no prefix, single/2-byte replacement spellings)."""
+        V = self.tables.vocab_size
+        flat = np.asarray(flat, dtype=np.int64)
         if flat.size and (flat.min() < 0 or flat.max() >= V):
             raise ValueError(
                 "Element must be non-negative and less than vocab size."
@@ -1165,15 +1341,13 @@ class TpuTokenizer:
 
         # per-doc byte boundaries
         len_cum = np.concatenate(([0], np.cumsum(lens)))
-        tok_ends = np.cumsum(counts)
-        doc_byte_ends = len_cum[tok_ends]
-        doc_byte_starts = len_cum[tok_ends - counts]
+        doc_byte_bounds = len_cum[doc_offs]
 
         # per-char reverse remap over the flat stream (alignment is
         # per-char and docs end on char boundaries, so one pass serves all)
         n = data.shape[0]
         if n == 0:
-            return ["" for _ in token_lists]
+            return b"", np.zeros(len(doc_offs), dtype=np.int64)
         is_start = (data & 0xC0) != 0x80
         starts = np.flatnonzero(is_start)
         b0 = data[starts].astype(np.int32)
@@ -1193,13 +1367,7 @@ class TpuTokenizer:
         # each char start emits exactly one byte: output doc boundaries =
         # number of char starts before each input boundary
         start_cum = np.concatenate(([0], np.cumsum(is_start)))
-        out_starts = start_cum[doc_byte_starts]
-        out_ends = start_cum[doc_byte_ends]
-        blob = out_bytes.tobytes()
-        return [
-            blob[out_starts[i] : out_ends[i]].decode("utf-8")
-            for i in range(len(token_lists))
-        ]
+        return out_bytes.tobytes(), start_cum[doc_byte_bounds]
 
     def _reverse_remap_np(self, raw: bytes) -> bytes:
         """Per-char vectorized reverse remap (byte-encoder mode, single-char

@@ -61,14 +61,52 @@ def row_gather(mat: jnp.ndarray, col_idx: jnp.ndarray) -> jnp.ndarray:
 # scalar-core gather lowering; measured ~14G vs ~0.07G lookups/s on v5e)
 ONEHOT_MAX_CAPACITY = 16384
 
+# table modes (the last element of a table_arrays tuple)
+MODE_PROBE = 0   # 4 parallel arrays, gather-probe
+MODE_ONEHOT = 1  # 4 parallel arrays, one-hot MXU probe
+MODE_PACKED = 2  # arrays[0] = (left<<16|right), arrays[1] = (rank<<16|merged)
+
+
+def _probe_pairs_packed(table, a, b):
+    """Big-table probe with 16-bit-packed keys and values: ONE gather
+    per probe step (slot key) plus one value gather at the hit slot —
+    vs 4 gathers/step for the parallel-array layout.  Requires every
+    id and rank < 0xFFFF (tables.build_pair_table checks)."""
+    pkey, pval, _unused2, _unused3, probe_len, cap_mask, _mode = table
+    shape = a.shape
+    af = a.reshape(-1)
+    bf = b.reshape(-1)
+    h = _hash_slots(af, bf, cap_mask)
+    key = ((af.astype(jnp.uint32) << 16) | (bf.astype(jnp.uint32) & 0xFFFF))
+    key = key.astype(jnp.int32)
+
+    def body(i, state):
+        found, slot_hit = state
+        slot = (h + i) & cap_mask
+        hit = (~found) & (fast_gather(pkey, slot) == key)
+        return found | hit, jnp.where(hit, slot, slot_hit)
+
+    found, slot_hit = jax.lax.fori_loop(
+        0, probe_len, body,
+        (jnp.zeros(af.shape, dtype=bool), jnp.zeros(af.shape, jnp.int32)),
+    )
+    v = fast_gather(pval, slot_hit)
+    valid = found & (af >= 0) & (bf >= 0)
+    rank = jnp.where(valid, (v >> 16) & 0xFFFF, INF_RANK)
+    merged = jnp.where(valid, v & 0xFFFF, -1)
+    return rank.reshape(shape), merged.reshape(shape)
+
 
 def probe_pairs(table, a: jnp.ndarray, b: jnp.ndarray):
     """Vectorized open-addressing lookup: (rank, merged) for id pairs.
 
-    ``table`` is a tuple (left, right, rank, merged, probe_len, cap_mask)
-    of device arrays / static ints.
+    ``table`` is a tuple (left, right, rank, merged, probe_len, cap_mask,
+    mode) of device arrays / static ints (see MODE_*; for MODE_PACKED the
+    first two arrays are the packed key/value tables).
     """
     t_left, t_right, t_rank, t_merged, probe_len, cap_mask, use_onehot = table
+    if use_onehot == MODE_PACKED:
+        return _probe_pairs_packed(table, a, b)
     if use_onehot:
         return _probe_pairs_onehot(table, a, b)
     au = a.astype(jnp.uint32)

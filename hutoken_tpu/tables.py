@@ -70,6 +70,34 @@ class PairTable:
     def capacity(self) -> int:
         return int(self.left.shape[0])
 
+    @property
+    def packed_ok(self) -> bool:
+        """Every id/rank fits 16 bits -> the 1-gather-per-step packed
+        probe layout applies (ops/merge.py MODE_PACKED)."""
+        if self.num_pairs == 0:
+            return True
+        real = self.left >= 0
+        hi = 0
+        for arr in (self.left, self.right, self.rank, self.merged):
+            if real.any():
+                hi = max(hi, int(arr[real].max()))
+        return hi < 0xFFFF
+
+    def packed_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(pkey, pval) int32 arrays: key = left<<16|right (-1 = empty),
+        value = rank<<16|merged."""
+        with np.errstate(over="ignore"):
+            pkey = (
+                (self.left.astype(np.uint32) << 16)
+                | (self.right.astype(np.uint32) & 0xFFFF)
+            ).astype(np.int32)
+            pkey = np.where(self.left < 0, np.int32(-1), pkey)
+            pval = (
+                (np.minimum(self.rank, 0xFFFF).astype(np.uint32) << 16)
+                | (self.merged.astype(np.uint32) & 0xFFFF)
+            ).astype(np.int32)
+        return pkey, pval
+
 
 def build_pair_table(
     pairs: dict[tuple[int, int], tuple[int, int]], max_probe_len: int = 4

@@ -1,0 +1,71 @@
+"""Device decode kernel (ops/decode.py): conformance vs the oracle.
+
+Reference semantics: src/core.c:513-581 (id -> bytes concat) +
+src/pretokenizer.c:197-296 (longest-match reverse remap; byte mode
+emits raw bytes for codepoints < 256, '?' otherwise).
+"""
+
+import random
+
+import pytest
+
+import fixture_tools as ft
+from hutoken_tpu import oracle
+from hutoken_tpu.context import TokenizerContext
+from hutoken_tpu.engine import TpuTokenizer
+
+
+@pytest.fixture(scope="module")
+def engine_ctx():
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    return TpuTokenizer(ctx), ctx
+
+
+TEXTS = [
+    "A gyors barna róka átugrik a lusta kutya fölött.",
+    " The quick brown fox jumps over the lazy dog.",
+    "Öt szűk ütközőpont: 0xFF, 3.14159.",
+    "   multiple   spaces\tand\nnewlines\r\nare whitespace too.",
+    "emoji 🙂 and 中文 chars",
+    "x",
+    "",
+]
+
+
+def test_device_decode_matches_oracle(engine_ctx):
+    engine, ctx = engine_ctx
+    token_lists = [oracle.encode(ctx, t) for t in TEXTS]
+    got = engine.decode_batch_device(token_lists)
+    assert got == TEXTS
+
+
+def test_device_decode_roundtrip_fuzz(engine_ctx):
+    engine, ctx = engine_ctx
+    rng = random.Random(3)
+    words = ft.CORPUS.split()
+    docs = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 30)))
+        for _ in range(100)
+    ]
+    token_lists = [oracle.encode(ctx, d) for d in docs]
+    assert engine.decode_batch_device(token_lists) == docs
+    # crosses the 64k-token block boundary
+    big = [t for tl in token_lists for t in tl] * 40
+    n = len(big)
+    assert n > (1 << 16)
+    whole = engine.decode_batch_device([big])
+    assert whole == ["".join(engine.decode_batch([tl])[0] for tl in [big])]
+
+
+def test_device_decode_bounds(engine_ctx):
+    engine, ctx = engine_ctx
+    with pytest.raises(ValueError, match="non-negative"):
+        engine.decode_batch_device([[10], [99999999]])
+
+
+def test_decode_env_switch(engine_ctx, monkeypatch):
+    engine, ctx = engine_ctx
+    token_lists = [oracle.encode(ctx, t) for t in TEXTS]
+    monkeypatch.setenv("HUTOKEN_TPU_DECODE", "device")
+    assert engine.decode_batch(token_lists) == TEXTS

@@ -67,12 +67,32 @@ def test_substr_merges_rejects_nonmonotone():
     assert build_substr_table_merges(ctx) is None
 
 
-def test_device_big_merges_matches_oracle(big_merges_ctx):
+def test_packed_probe_big_merges_matches_oracle(big_merges_ctx):
+    """Default big-table path: 16-bit packed gather probe (MODE_PACKED)."""
     from hutoken_tpu.engine import TpuTokenizer
+    from hutoken_tpu.ops.merge import MODE_PACKED
 
     engine = TpuTokenizer(big_merges_ctx)
-    if not engine._substr_merges:
-        pytest.skip("merges R-matrix not selected on this backend")
+    assert engine.table_arrays[-1] == MODE_PACKED
+    rng = random.Random(9)
+    words = ft.CORPUS.split()
+    docs = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(1, 16)))
+        for _ in range(40)
+    ] + ["aaaa bbbb unknownzz 12345 ...!!!", "x" * 80]
+    got = engine.encode_batch(docs)
+    want = [oracle.encode(big_merges_ctx, d) for d in docs]
+    assert got == want
+
+
+def test_device_big_merges_matches_oracle(big_merges_ctx, monkeypatch):
+    from hutoken_tpu.engine import TpuTokenizer
+
+    # the R-matrix serves vocabs whose ids overflow the packed probe's
+    # 16-bit layout; force it here so the 50k fixture exercises it
+    monkeypatch.setenv("HUTOKEN_TPU_FORCE_RMATRIX", "1")
+    engine = TpuTokenizer(big_merges_ctx)
+    assert engine._substr_merges
 
     rng = random.Random(5)
     words = ft.CORPUS.split()

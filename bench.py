@@ -284,6 +284,13 @@ def main() -> None:
         "small", args.mb or HEADLINE_MB, args.check, args.device_timeout
     )
     if not ok:
+        # the remote compile service stalls intermittently; compiled
+        # shapes persist in the on-disk cache, so one retry is usually
+        # enough to get past a stall
+        ok = _spawn(
+            "small", args.mb or HEADLINE_MB, args.check, args.device_timeout
+        )
+    if not ok:
         _host_fallback(args.mb or HEADLINE_MB)
 
 

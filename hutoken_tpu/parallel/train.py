@@ -14,14 +14,16 @@ chips as an id array; each merge step is
        rewrite of src/bbpe.c:53-71).
 
 Semantics are the *corrected* trainer semantics (``strict=False``):
-array-reuse artifacts of the reference implementation are not emulated,
-and shard boundaries are merge barriers (pairs spanning two shards are
-neither counted nor merged — shards are cut at document/whitespace
-boundaries by the caller, so with D shards at most D-1 of the billions
-of corpus pairs are affected).  Tie-break note: the scan-order
-first-to-reach-max rule of the host trainer degenerates to
-lowest-pair-key on device (documented divergence; identical when counts
-have a unique max).
+array-reuse artifacts of the reference implementation are not emulated.
+Shard boundaries are INVISIBLE: each shard fetches its successor's
+first element over ICI (``ppermute`` halo) so boundary pairs are
+counted and merged, with a tiny cross-shard carry chain resolving
+left-to-right merge parity for runs that straddle shards.  The
+tie-break is the host trainer's exact first-to-reach-the-max rule,
+implemented as a scatter-max of global pair positions (the max-count
+pair with the smallest LAST-occurrence index wins) — so on any corpus
+``distributed_bbpe_train`` reproduces ``bbpe_train_core`` byte for
+byte (tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -73,6 +75,104 @@ def _compact(new):
     )
 
 
+def _make_shard_ops(K: int, n_dev: int):
+    """Shared per-shard count/merge ops with cross-shard halos.
+
+    Pads (-1) live only at each shard's tail (the compaction
+    invariant), so stream adjacency = in-shard consecutive pairs plus
+    exactly one boundary pair (shard's last valid element, successor's
+    first element) fetched with a ring ``ppermute``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def _pair_operands(ids):
+        # the stream successor of this shard's last valid element is the
+        # first element of the NEAREST NON-EMPTY successor shard (shards
+        # can empty out late in training), found on the all-gathered
+        # first-element vector
+        n = ids.shape[0]
+        firsts = jax.lax.all_gather(ids[0], "data")  # [D]
+        idx = jax.lax.axis_index("data")
+        shard_ids = jnp.arange(n_dev, dtype=jnp.int32)
+        cand = jnp.where(
+            (shard_ids > idx) & (firsts >= 0), shard_ids, n_dev
+        )
+        nxt = jnp.min(cand)
+        halo = jnp.where(
+            nxt < n_dev, firsts[jnp.minimum(nxt, n_dev - 1)], jnp.int32(-1)
+        )
+        lastvalid = jnp.sum((ids >= 0).astype(jnp.int32)) - 1
+        pos = jnp.arange(n, dtype=jnp.int32)
+        b = jnp.concatenate([ids[1:], jnp.full((1,), -1, ids.dtype)])
+        b = jnp.where(pos == lastvalid, halo, b)
+        return ids, b, pos, lastvalid
+
+    def count_shard(ids):
+        """(histogram, last-occurrence position) over the global stream.
+
+        The last-occurrence table serves the reference tie-break: the
+        linear-scan counter keeps the FIRST pair to reach the maximum
+        (src/bbpe.c:21-51 as resolved in train/bbpe.py), which equals
+        the max-count pair whose LAST occurrence index is smallest.
+        Positions here are shard-offset, order-isomorphic to compact
+        stream positions, which is all the comparison needs.
+        """
+        a, b, pos, _lastvalid = _pair_operands(ids)
+        valid = (a >= 0) & (b >= 0)
+        keys = jnp.where(valid, a * K + b, 0)
+        hist = jnp.zeros((K * K,), jnp.int32).at[keys].add(
+            valid.astype(jnp.int32), mode="drop"
+        )
+        n = ids.shape[0]
+        gpos = jax.lax.axis_index("data").astype(jnp.int32) * n + pos
+        occ = jnp.full((K * K,), jnp.int32(-1))
+        occ = occ.at[keys].max(jnp.where(valid, gpos, -1), mode="drop")
+        return hist, occ
+
+    def pick_best(hist, occ):
+        m = jnp.max(hist)
+        inf = jnp.int32(0x7FFFFFFF)
+        cand = jnp.where(hist == m, occ, inf)
+        best_key = jnp.argmin(cand).astype(jnp.int32)
+        return best_key, m.astype(jnp.int32)
+
+    def apply_merge(ids, id1, id2, new_id):
+        a, b, pos, lastvalid = _pair_operands(ids)
+        n = ids.shape[0]
+        match = (a == id1) & (b == id2)
+        # two take-chains: in-carry 0 (element 0 alive) and 1 (consumed
+        # by the predecessor's boundary merge, which flips the parity of
+        # a run crossing the boundary)
+        take0 = _merge_mask_device(match)
+        take1 = jnp.concatenate(
+            [jnp.zeros((1,), bool), _merge_mask_device(match[1:])]
+        )
+        safe_last = jnp.clip(lastvalid, 0, n - 1)
+        # empty shards pass the consume-carry through unchanged: the
+        # predecessor's boundary merge consumes the first element of the
+        # nearest non-empty successor
+        empty = lastvalid < 0
+        out0 = ~empty & take0[safe_last]
+        out1 = jnp.where(empty, True, take1[safe_last])
+        # resolve the in-carry per shard: tiny redundant prefix chain
+        # over the all-gathered (out0, out1) tables
+        oo = jax.lax.all_gather(jnp.stack([out0, out1]), "data")  # [D, 2]
+        c = jnp.zeros((), bool)
+        carries = [c]
+        for s in range(n_dev - 1):
+            c = jnp.where(c, oo[s, 1], oo[s, 0])
+            carries.append(c)
+        cin = jnp.stack(carries)[jax.lax.axis_index("data")]
+        take = jnp.where(cin, take1, take0)
+        consumed = jnp.concatenate([cin[None], take[:-1]])
+        new = jnp.where(take, new_id, ids)
+        new = jnp.where(consumed, -1, new)
+        return _compact(new)
+
+    return count_shard, pick_best, apply_merge
+
+
 def make_train_step(K: int, mesh, min_merge_count: int = 2):
     """Build the jitted sharded train step.
 
@@ -85,34 +185,14 @@ def make_train_step(K: int, mesh, min_merge_count: int = 2):
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
 
-    def count_shard(ids):
-        a = ids[:-1]
-        b = ids[1:]
-        valid = (a >= 0) & (b >= 0)
-        keys = jnp.where(valid, a * K + b, 0)
-        hist = jnp.zeros((K * K,), jnp.int32).at[keys].add(
-            valid.astype(jnp.int32), mode="drop"
-        )
-        return hist
+    n_dev = mesh.devices.size
+    count_shard, pick_best, apply_merge = _make_shard_ops(K, n_dev)
 
     def step(ids):
-        hist = count_shard(ids)
+        hist, occ = count_shard(ids)
         hist = jax.lax.psum(hist, "data")
-        best_key = jnp.argmax(hist)
-        best_count = hist[best_key]
-        return best_key.astype(jnp.int32), best_count.astype(jnp.int32)
-
-    def apply_merge(ids, id1, id2, new_id):
-        a = ids[:-1]
-        b = ids[1:]
-        match = (a == id1) & (b == id2)
-        take = _merge_mask_device(match)
-        consumed = jnp.concatenate([jnp.zeros((1,), bool), take])
-        new = jnp.where(
-            jnp.concatenate([take, jnp.zeros((1,), bool)]), new_id, ids
-        )
-        new = jnp.where(consumed, -1, new)
-        return _compact(new)
+        occ = jax.lax.pmax(occ, "data")
+        return pick_best(hist, occ)
 
     def fused(ids, new_id):
         """count + psum + argmax + conditional merge, one dispatch."""
@@ -185,33 +265,16 @@ def make_scan_train_step(K: int, mesh, min_merge_count: int, scan_steps: int):
 
     _, _, fused_single = make_train_step(K, mesh, min_merge_count)
 
-    def count_shard(ids):
-        a = ids[:-1]
-        b = ids[1:]
-        valid = (a >= 0) & (b >= 0)
-        keys = jnp.where(valid, a * K + b, 0)
-        return jnp.zeros((K * K,), jnp.int32).at[keys].add(
-            valid.astype(jnp.int32), mode="drop"
-        )
-
-    def apply_merge(ids, id1, id2, new_id):
-        a = ids[:-1]
-        b = ids[1:]
-        match = (a == id1) & (b == id2)
-        take = _merge_mask_device(match)
-        consumed = jnp.concatenate([jnp.zeros((1,), bool), take])
-        new = jnp.where(
-            jnp.concatenate([take, jnp.zeros((1,), bool)]), new_id, ids
-        )
-        new = jnp.where(consumed, -1, new)
-        return _compact(new)
+    n_dev = mesh.devices.size
+    count_shard, pick_best, apply_merge = _make_shard_ops(K, n_dev)
 
     def chunk(ids, start_new_id):
         def body(carry, i):
             ids = carry
-            hist = jax.lax.psum(count_shard(ids), "data")
-            key = jnp.argmax(hist).astype(jnp.int32)
-            cnt = hist[key].astype(jnp.int32)
+            hist, occ = count_shard(ids)
+            hist = jax.lax.psum(hist, "data")
+            occ = jax.lax.pmax(occ, "data")
+            key, cnt = pick_best(hist, occ)
             id1 = key // K
             id2 = key % K
             merged = apply_merge(ids, id1, id2, start_new_id[0] + i)

@@ -22,22 +22,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
 def split_document(document: str, num_parts: int) -> list[str]:
-    """Whitespace-aligned chunking (behavioral spec: reference
-    scripts/benchmark.py:30-49)."""
-    text_len = len(document)
-    chunk_size = (text_len + num_parts - 1) // num_parts
-    chunks = []
-    start = 0
-    for i in range(num_parts):
-        end = min(start + chunk_size, text_len)
-        if end < text_len and i < num_parts - 1:
-            while end < text_len and document[end] not in (" ", "\n", "\t"):
-                end += 1
-        next_start = end
-        if start < end:
-            chunks.append(document[start:end])
-        start = next_start
-    return chunks
+    """Cut a document into ~equal whitespace-aligned pieces whose
+    concatenation is the original (for batch-vs-whole comparisons)."""
+    n = len(document)
+    if num_parts <= 1 or n == 0:
+        return [document] if document else []
+    target = -(-n // num_parts)
+    cuts = [0]
+    while cuts[-1] < n and len(cuts) <= num_parts:
+        at = min(cuts[-1] + target, n)
+        while at < n and document[at] not in " \t\n":
+            at += 1
+        cuts.append(at)
+    cuts[-1] = n  # any remainder joins the final piece
+    return [document[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
 
 
 def main() -> None:

@@ -92,37 +92,41 @@ def _simulate_distributed_bbpe(corpus: bytes, vocab_size: int, n_shards: int):
     return str2id
 
 
-def test_distributed_bbpe_matches_simulator(mesh):
-    """Device distributed training (histogram + psum + argmax + masked
-    merge + sorted compaction) must match the numpy reference of the same
-    semantics exactly."""
-    from hutoken_tpu.parallel.train import distributed_bbpe_train
-
-    corpus = (b"the cat sat on the mat " * 32)
-    want = _simulate_distributed_bbpe(corpus, 280, 8)
-    dist = distributed_bbpe_train(corpus, 280, mesh=mesh, verbose=False)
-    assert dist == want
-
-
-def test_distributed_bbpe_close_to_host(mesh):
-    """On tie-free corpora the distributed result tracks the host trainer
-    closely (boundary pairs and tie-break policy are the only sources of
-    divergence; on this corpus > 90% of tokens coincide)."""
+def test_distributed_bbpe_matches_host(mesh):
+    """Shard boundaries are invisible (ppermute halo pairs + cross-shard
+    merge-parity carries) and the tie-break is the host trainer's exact
+    first-to-reach rule, so the distributed trainer reproduces
+    bbpe_train_core byte for byte — ties, boundaries and all."""
     from hutoken_tpu.parallel.train import distributed_bbpe_train
     from hutoken_tpu.train.bbpe import bbpe_train_core
 
     corpus = (b"the cat sat on the mat " * 32)
-    host = set(bbpe_train_core(corpus, 280, verbose=False))
-    dist = set(distributed_bbpe_train(corpus, 280, mesh=mesh, verbose=False))
-    overlap = len(host & dist) / max(len(host), 1)
-    assert overlap > 0.9, f"only {overlap:.2%} token overlap"
+    want = bbpe_train_core(corpus, 280, verbose=False)
+    dist = distributed_bbpe_train(corpus, 280, mesh=mesh, verbose=False)
+    assert dist == want
 
 
-def _simulate_distributed_bpe(corpus: bytes, vocab_size: int, n_shards: int):
-    """Numpy reference of the distributed *string* trainer: same device
-    semantics, id_offset=1, min merge count 1, repeat-stop on merged
-    spelling."""
-    from hutoken_tpu.train.common import left_to_right_merge_mask
+def test_distributed_bbpe_boundary_runs(mesh):
+    """Pathological cross-shard runs: a corpus of one repeated byte pair
+    exercises the run-parity carry chain across every shard boundary."""
+    from hutoken_tpu.parallel.train import distributed_bbpe_train
+    from hutoken_tpu.train.bbpe import bbpe_train_core
+
+    corpus = b"ab" * 203 + b"xy" + b"a" * 37  # odd tail, uneven shards
+    want = bbpe_train_core(corpus, 262, verbose=False)
+    dist = distributed_bbpe_train(corpus, 262, mesh=mesh, verbose=False)
+    assert dist == want
+
+
+def _simulate_distributed_bpe(corpus: bytes, vocab_size: int):
+    """Numpy reference of the distributed *string* trainer: flat-stream
+    semantics (shards are invisible), id_offset=1, min merge count 1,
+    repeat-stop on merged spelling, first-to-reach tie-break."""
+    from hutoken_tpu.train.common import (
+        count_pairs,
+        first_to_reach_winner,
+        left_to_right_merge_mask,
+    )
 
     K = vocab_size + 2
     str2id = {}
@@ -134,22 +138,15 @@ def _simulate_distributed_bpe(corpus: bytes, vocab_size: int, n_shards: int):
     count = 256
 
     ids = np.frombuffer(corpus, dtype=np.uint8).astype(np.int64)
-    pad = (-len(ids)) % n_shards
-    if pad:
-        ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
-    shards = [s.copy() for s in np.split(ids, n_shards)]
 
     prev_key = None
-    while count < vocab_size:
-        hist = np.zeros(K * K, dtype=np.int64)
-        for s in shards:
-            a, b = s[:-1], s[1:]
-            valid = (a >= 0) & (b >= 0)
-            np.add.at(hist, (a * K + b)[valid], 1)
-        key = int(hist.argmax())
-        cnt = int(hist[key])
+    while count < vocab_size and len(ids) > 1:
+        keys = ids[:-1] * K + ids[1:]
+        uniq, inverse, counts = count_pairs(keys)
+        win, cnt = first_to_reach_winner(inverse, counts)
         if cnt < 1:
             break
+        key = int(uniq[win])
         id1, id2 = key // K, key % K
         new_id = count + 1
         merged = id2str.get(id1, b"") + id2str.get(id2, b"")
@@ -157,17 +154,14 @@ def _simulate_distributed_bpe(corpus: bytes, vocab_size: int, n_shards: int):
             count += 1
         str2id[merged] = new_id
         id2str[new_id] = merged
-        for i, s in enumerate(shards):
-            match = (s[:-1] == id1) & (s[1:] == id2)
-            take = left_to_right_merge_mask(match)
-            tk = np.flatnonzero(take)
-            s[tk] = new_id
-            consumed = np.zeros(len(s), dtype=bool)
-            consumed[tk + 1] = True
-            kept = s[~consumed]
-            shards[i] = np.concatenate(
-                [kept, np.full(len(s) - len(kept), -1, np.int64)]
-            )
+        match = inverse == win
+        take = left_to_right_merge_mask(match)
+        tk = np.flatnonzero(take)
+        new = ids.copy()
+        new[tk] = new_id
+        consumed = np.zeros(len(ids), dtype=bool)
+        consumed[tk + 1] = True
+        ids = new[~consumed]
         if prev_key is not None and prev_key == merged:
             break
         prev_key = merged
@@ -178,7 +172,7 @@ def test_distributed_bpe_matches_simulator(mesh):
     from hutoken_tpu.parallel.train import distributed_bpe_train
 
     corpus = (b"szia vilag szep szavak szava szsz " * 24)
-    want = _simulate_distributed_bpe(corpus, 290, 8)
+    want = _simulate_distributed_bpe(corpus, 290)
     dist = distributed_bpe_train(corpus, 290, mesh=mesh, verbose=False)
     assert dist == want
 
@@ -202,3 +196,30 @@ def test_graft_entry_single_and_multichip():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 16)
     ge.dryrun_multichip(8)
+
+
+def test_distributed_matches_host_trainer_exactly():
+    """PARITY claim: on a tie-free corpus the distributed trainer (8
+    virtual devices, psum'd histograms, K merges per dispatch) produces
+    the SAME vocab as the host reference trainer, byte for byte
+    (reference semantics: src/bbpe.c:73-124).  Document boundaries are
+    irrelevant here: bbpe counts pairs across the whole byte stream."""
+    import jax
+
+    from hutoken_tpu.parallel.mesh import data_mesh
+    from hutoken_tpu.parallel.train import distributed_bbpe_train
+    from hutoken_tpu.train.bbpe import bbpe_train_core
+
+    # tie-free by construction: pair frequencies decay strictly
+    # (geometric repetition of distinct bigram-heavy words)
+    parts = []
+    words = [b"aluminium", b"borostyan", b"cseresznye", b"dinnye",
+             b"eper", b"fuge", b"galagonya"]
+    for i, w in enumerate(words):
+        parts.extend([w + b" "] * (200 - 23 * i))
+    corpus = b"".join(parts)
+
+    mesh = data_mesh(8)
+    want = bbpe_train_core(corpus, 280, verbose=False)
+    got = distributed_bbpe_train(corpus, 280, mesh=mesh, verbose=False)
+    assert got == want

@@ -137,15 +137,21 @@ class TpuTokenizer:
         else:
             mode = MODE_PROBE
         if mode == MODE_PACKED:
-            pkey, pval = pt.packed_arrays()
+            # rebuild at a lower load factor: probe_len <= 2 halves the
+            # per-lookup gather count for one extra doubling of an
+            # int32-pair table (8 MB at 1M slots — HBM noise)
+            from .tables import build_pair_table
+
+            pt2 = build_pair_table(self.tables.pairs, max_probe_len=2)
+            pkey, pval = pt2.packed_arrays()
             zero = np.zeros(1, dtype=np.int32)
             self.table_arrays = (
                 _table(pkey),
                 _table(pval),
                 _table(zero),
                 _table(zero),
-                pt.probe_len,
-                pt.capacity - 1,
+                pt2.probe_len,
+                pt2.capacity - 1,
                 MODE_PACKED,
             )
         else:
@@ -1149,10 +1155,20 @@ class TpuTokenizer:
             )
         from .ops.merge import merge_words_from_bytes_packed
 
+        # slice the lane axis to the real content width (length-sorted
+        # blocks are homogeneous): initial-rank probes and merge rounds
+        # scale with the true max length instead of the bucket width
+        L = raw.shape[1]
+        W = 8
+        target = max(1, max_len or L)
+        while W < target and W < L:
+            W *= 2
+        if W < L:
+            raw = raw[:, :W]
         return merge_words_from_bytes_packed(
             self.table_arrays,
             self._byte_seed_dev,
-            self._place_rows(raw),
+            self._place_rows(np.ascontiguousarray(raw)),
             self._place_vec(lens),
             self._u16_out,
         )

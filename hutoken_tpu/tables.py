@@ -487,7 +487,10 @@ class EncoderTables:
     # decode side
     token_bytes: np.ndarray  # uint8 [V, max_len]
     token_lens: np.ndarray  # int32 [V]
-    monotone: bool  # every pair's rank/merged exceeds both inputs' creation
+    # raw (left,right)->(rank,merged) dict, kept so callers can rebuild
+    # the table at a different load factor (e.g. probe_len=2 for the
+    # packed big-table probe)
+    pairs: dict
 
     def seed_ids_for_byte(self, b: int) -> list[int]:
         if self.byte_seed_ids is not None:
@@ -566,18 +569,6 @@ def build_encoder_tables(ctx: TokenizerContext) -> EncoderTables:
             token_bytes[tid, : len(s)] = np.frombuffer(s, dtype=np.uint8)
             token_lens[tid] = len(s)
 
-    # monotonicity check (informational / future fast paths): a table is
-    # monotone when every merged token's rank exceeds both constituents'
-    # best incoming rank.  NOT currently used to change semantics — see
-    # ops/merge.py for why batched local-min merging is inexact.
-    monotone = True
-    for (a, b), (r, m) in pairs.items():
-        # creation rank of a token = its id in the string path
-        if not uses_merges and (r <= a or r <= b):
-            if a > 255 or b > 255:
-                monotone = False
-                break
-
     return EncoderTables(
         pair_table=table,
         byte_seed_ids=byte_seed_ids,
@@ -587,7 +578,7 @@ def build_encoder_tables(ctx: TokenizerContext) -> EncoderTables:
         uses_merges=uses_merges,
         token_bytes=token_bytes,
         token_lens=token_lens,
-        monotone=monotone,
+        pairs=pairs,
     )
 
 

@@ -18,7 +18,7 @@ def test_component_inventory():
         pretokenize,
         tables,
     )
-    from hutoken_tpu.ops import merge, pallas_gather
+    from hutoken_tpu.ops import decode, merge, rmatrix
     from hutoken_tpu.parallel import mesh, multihost, sharded, train as ptrain
     from hutoken_tpu.train import bbpe, bpe, common
     from hutoken_tpu.utils import logging as htlog

@@ -1,17 +1,22 @@
 """TpuTokenizer: the batched device-backed tokenization engine.
 
 Pipeline for ``encode_batch`` (replaces the reference's pthread pool,
-src/taskqueue.c + src/lib.c:722-874, with batch vectorization):
+src/taskqueue.c + src/lib.c:722-874, with batch vectorization over a
+four-thread host pipeline):
 
-1. host: split every document into parser words (regex pass),
-2. host: deduplicate words (Zipf makes this a 5-20x reduction) and
-   compute each unique word's seed-element ids,
-3. host: bucket unique words by seed length (16/32/64/128 lanes),
-   padding each bucket to fixed shapes (static shapes for XLA),
-4. device: run the greedy-merge fixed point per bucket (ops/merge.py),
-5. host: reassemble per-document token lists through the inverse of the
-   dedup map, prepending the prefix token run where the reference would
-   (src/core.c:421-446).
+1. MAIN thread: per-group corpus prep (utf-8 encode + join) one group
+   ahead of the producer,
+2. PRODUCER thread: SIMD split + persistent word->gid interning
+   (native/: AVX-512 classifier, packed-key maps); only first-seen
+   words continue,
+3. MAIN thread: resolve new words (vectorized numpy), pack length-sorted
+   fixed-row blocks, launch the greedy-merge fixed point per block
+   (ops/merge.py — one-hot MXU probes for small tables, 16-bit packed
+   gather probes at GPT-2 scale, R-matrix for 100k+ vocabs), sharded
+   over a ``mesh`` when one is given,
+4. DRAINER thread: device_get finished blocks while later groups split,
+5. MAIN thread: native span-gather assembly of per-document streams;
+   a REAPER thread releases device buffers off the hot path.
 
 Words that cannot take the device fast path fall back to the exact host
 oracle per word, preserving byte-for-byte parity:
@@ -19,11 +24,13 @@ oracle per word, preserving byte-for-byte parity:
 * seed elements missing from the vocab (string path can still merge
   them by spelling — src/core.c:700-722 works on strings),
 * words longer than the largest bucket,
-* glued-prefix first words (one per document, cached).
+* glued-prefix first words (one per document, cached),
+* sub-block remainders (native scalar engine — cheaper than a padded
+  device round trip).
 
-``decode_batch`` gathers token bytes via numpy tables and reverses the
-byte->unicode remap with a vectorized single-char fast path (general
-multi-char replacement tables use the scalar AC-equivalent scan).
+``decode_batch`` runs the threaded native C++ decoder (or the numpy
+flat path / device decode kernel — see decode_arrays and
+decode_batch_device).
 """
 
 from __future__ import annotations
@@ -614,42 +621,45 @@ class TpuTokenizer:
         from .native import WordInterner, assemble
 
         t0 = _time.perf_counter()
-        t_prep0 = t0
         if self._interner is None:
             self._interner = WordInterner()
         interner = self._interner
-        # one-pass corpus prep: ASCII docs (the overwhelmingly common
-        # case — str.isascii() is O(1) on CPython compact strings) join
-        # in str space and encode once; byte lengths equal char lengths
-        if texts and all(t.isascii() for t in texts):
-            doc_lens = np.fromiter(
-                map(len, texts), dtype=np.int64, count=len(texts)
+        # group cuts by CHAR count (a byte-count estimate — groups only
+        # need rough balance); per-group utf-8 encode + join happens
+        # inside the pipeline loop, overlapped with the producer's split
+        groups: list[tuple[int, int]] = []
+        glo = 0
+        acc = 0
+        for gi, t in enumerate(texts):
+            acc += len(t)
+            if acc >= GROUP_BYTES:
+                groups.append((glo, gi + 1))
+                glo = gi + 1
+                acc = 0
+        if glo < len(texts) or not groups:
+            groups.append((glo, len(texts)))
+
+        def _prep(lo: int, hi: int):
+            chunk = texts[lo:hi]
+            if chunk and all(t.isascii() for t in chunk):
+                lens = np.fromiter(
+                    map(len, chunk), dtype=np.int64, count=len(chunk)
+                )
+                gblob = "".join(chunk).encode("utf-8")
+            else:
+                enc = [t.encode("utf-8") for t in chunk]
+                lens = np.fromiter(
+                    map(len, enc), dtype=np.int64, count=len(enc)
+                )
+                gblob = b"".join(enc)
+            doc_off = np.zeros(len(chunk) + 1, dtype=np.int64)
+            np.cumsum(lens, out=doc_off[1:])
+            blob_np_g = (
+                np.frombuffer(gblob, dtype=np.uint8)
+                if gblob
+                else np.zeros(1, np.uint8)
             )
-            all_blob = "".join(texts).encode("utf-8")
-        else:
-            enc = [t.encode("utf-8") for t in texts]
-            doc_lens = np.fromiter(
-                map(len, enc), dtype=np.int64, count=len(enc)
-            )
-            all_blob = b"".join(enc)
-        all_off = np.zeros(len(texts) + 1, dtype=np.int64)
-        np.cumsum(doc_lens, out=all_off[1:])
-        # group boundaries: first doc whose end crosses each GROUP_BYTES
-        # multiple (byte-bounded groups pipeline host split vs device)
-        n_groups = max(1, -(-int(all_off[-1]) // GROUP_BYTES))
-        cuts = np.searchsorted(
-            all_off[1:],
-            np.arange(1, n_groups + 1, dtype=np.int64) * GROUP_BYTES,
-        )
-        cuts = np.minimum(cuts + 1, len(texts))
-        groups = []
-        lo = 0
-        for hi in np.unique(cuts):
-            if hi > lo:
-                groups.append((lo, int(hi)))
-                lo = int(hi)
-        if lo < len(texts):
-            groups.append((lo, len(texts)))
+            return blob_np_g, doc_off, gblob
 
         pending: list = []
         group_refs: list[np.ndarray] = []
@@ -702,29 +712,22 @@ class TpuTokenizer:
                     self._launch_id_words(b, items[:cut], pending)
                     del items[:cut]
 
-        all_np = (
-            np.frombuffer(all_blob, dtype=np.uint8)
-            if all_blob
-            else np.zeros(1, np.uint8)
-        )
-
-        if timing:
-            print(
-                f"[ht-timing] prep: {_time.perf_counter()-t_prep0:.3f}s"
-            )
-
-        # producer: split+intern runs one group ahead of the main thread
+        # producer: split+intern runs one group ahead of the main thread;
+        # the main thread preps (encodes+joins) upcoming groups while the
+        # producer splits, so corpus prep never sits on the critical path
+        prepq: _queue.Queue = _queue.Queue()
         splitq: _queue.Queue = _queue.Queue(maxsize=2)
 
         def _producer():
             try:
-                for glo, ghi in groups:
-                    g_base = int(all_off[glo])
-                    doc_off = all_off[glo : ghi + 1] - g_base
-                    blob_np_g = all_np[g_base:] if g_base else all_np
-                    res = interner.split_intern(blob_np_g, doc_off)
-                    splitq.put((g_base, blob_np_g, res))
-                splitq.put(None)
+                while True:
+                    item = prepq.get()
+                    if item is None:
+                        splitq.put(None)
+                        return
+                    blob_np_g, doc_off_g, gblob = item
+                    res = interner.split_intern(blob_np_g, doc_off_g)
+                    splitq.put((blob_np_g, gblob, res))
             except BaseException as e:  # re-raised on the main thread
                 splitq.put(e)
 
@@ -763,8 +766,18 @@ class TpuTokenizer:
                 drainq.put((drained, pending[drained][0]))
                 drained += 1
 
-        t_split = t_resolve = t_launch = 0.0
-        while True:
+        t_split = t_resolve = t_launch = t_prep = 0.0
+        n_put = 0
+        n_done = 0
+        n_groups = len(groups)
+        while n_done < n_groups:
+            tg = _time.perf_counter()
+            while n_put < n_groups and n_put - n_done < 2:
+                prepq.put(_prep(*groups[n_put]))
+                n_put += 1
+                if n_put == n_groups:
+                    prepq.put(None)
+            t_prep += _time.perf_counter() - tg
             tg = _time.perf_counter()
             item = splitq.get()
             t_split += _time.perf_counter() - tg
@@ -773,8 +786,8 @@ class TpuTokenizer:
             if isinstance(item, BaseException):
                 drainq.put(None)
                 raise item
-            g_base, blob_np, (wg, dwo, new_off, new_len, prev) = item
-            blob = all_blob  # group offsets below are blob_np-relative
+            n_done += 1
+            blob_np, gblob, (wg, dwo, new_off, new_len, prev) = item
             tg = _time.perf_counter()
 
             n_new = len(new_len)
@@ -811,15 +824,15 @@ class TpuTokenizer:
                         raw[rows_idx, pos] = blob_np[np.repeat(off, ln) + pos]
                         carry_byte[b].append((gids[sel], raw, ln))
                     for i in np.flatnonzero(nl > MAX_DEVICE_LEN):  # rare
-                        wb = blob[g_base + no[i] : g_base + no[i] + nl[i]]
+                        wb = gblob[no[i] : no[i] + nl[i]]
                         sp = self._pool_append(self._encode_word_host(wb, None))
                         self._gid_start[gids[i]] = sp[0]
                         self._gid_len[gids[i]] = sp[1]
                 else:
-                    no_l = (no + g_base).tolist()
+                    no_l = no.tolist()
                     nl_l = new_len.tolist()
                     for i in range(n_new):
-                        wb = blob[no_l[i] : no_l[i] + nl_l[i]]
+                        wb = gblob[no_l[i] : no_l[i] + nl_l[i]]
                         self._resolve_generic(
                             wb, gids[i], carry_ids,
                             self._gid_start, self._gid_len,
@@ -845,8 +858,9 @@ class TpuTokenizer:
         if timing:
             print(
                 f"[ht-timing] split+resolve+launch: {_time.perf_counter()-t0:.3f}s"
-                f" (split-wait {t_split:.3f} resolve {t_resolve:.3f}"
-                f" launch {t_launch:.3f} host-tail {t_tail:.3f})"
+                f" (prep {t_prep:.3f} split-wait {t_split:.3f}"
+                f" resolve {t_resolve:.3f} launch {t_launch:.3f}"
+                f" host-tail {t_tail:.3f})"
             )
             t0 = _time.perf_counter()
 

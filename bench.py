@@ -40,7 +40,7 @@ import sys
 import time
 
 HEADLINE_MB = 8.0
-BIG_MB = 2.0
+BIG_MB = 8.0
 BASELINE = 100.0
 
 
@@ -153,8 +153,8 @@ def run_child(config: str, mb: float, check: bool) -> None:
             return engine.decode_batch(token_lists)
 
         for label, fn in (
-            ("host numpy, arrays API", _dec_arrays),
-            ("native C++, list API", _dec_lists),
+            ("arrays API", _dec_arrays),
+            ("list API", _dec_lists),
             ("device kernel", _dec_device),
         ):
             try:

@@ -1358,6 +1358,10 @@ class TpuTokenizer:
         ids + doc offsets -> (decoded byte blob, per-doc byte offsets).
         Host vectorized fast path; requires the byte-encoder fast config
         (no prefix, single/2-byte replacement spellings)."""
+        if self._native_split_ok:
+            nat = self._native_word_encoder()
+            if nat is not None:
+                return nat.decode_arrays(flat, doc_offs)
         V = self.tables.vocab_size
         flat = np.asarray(flat, dtype=np.int64)
         if flat.size and (flat.min() < 0 or flat.max() >= V):

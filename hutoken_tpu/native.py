@@ -399,31 +399,45 @@ class NativeEngine:
         return toks, spans
 
     def decode_batch(self, token_lists: list[list[int]], num_threads: int = 1) -> list[str]:
-        flat = np.array(
-            [x for ids in token_lists for x in ids] or [0], dtype=np.int32
+        counts = np.fromiter(
+            map(len, token_lists), dtype=np.int64, count=len(token_lists)
+        )
+        flat = (
+            np.concatenate(
+                [np.asarray(t, dtype=np.int32) for t in token_lists if t]
+            )
+            if counts.sum()
+            else np.zeros(1, dtype=np.int32)
         )
         offs = np.zeros(len(token_lists) + 1, dtype=np.int64)
-        pos = 0
-        for i, ids in enumerate(token_lists):
-            offs[i] = pos
-            pos += len(ids)
-        offs[len(token_lists)] = pos
+        np.cumsum(counts, out=offs[1:])
+        data, roffs = self.decode_arrays(flat, offs, num_threads)
+        return [
+            data[roffs[i] : roffs[i + 1]].decode("utf-8")
+            for i in range(len(token_lists))
+        ]
+
+    def decode_arrays(
+        self, flat: np.ndarray, doc_offs: np.ndarray, num_threads: int = 2
+    ) -> tuple[bytes, np.ndarray]:
+        """Array-form decode: flat token ids + doc offsets -> (decoded
+        byte blob, per-doc byte offsets)."""
+        flat = np.ascontiguousarray(flat, dtype=np.int32)
+        doc_offs = np.ascontiguousarray(doc_offs, dtype=np.int64)
+        n_docs = len(doc_offs) - 1
         out_bytes = _u8p()
         out_offs = _i64p()
         rc = self._lib.ht_decode_batch(
-            self._h, _np_i32p(flat), _np_i64p(offs), len(token_lists),
+            self._h, _np_i32p(flat), _np_i64p(doc_offs), n_docs,
             int(num_threads), ctypes.byref(out_bytes), ctypes.byref(out_offs),
         )
         if rc != 0:
             raise ValueError(
                 "Element must be non-negative and less than vocab size."
             )
-        roffs = np.ctypeslib.as_array(out_offs, shape=(len(token_lists) + 1,)).copy()
+        roffs = np.ctypeslib.as_array(out_offs, shape=(n_docs + 1,)).copy()
         total = int(roffs[-1])
-        data = np.ctypeslib.as_array(out_bytes, shape=(max(total, 1),)).copy()
+        data = bytes(np.ctypeslib.as_array(out_bytes, shape=(max(total, 1),))[:total])
         self._lib.ht_free_u8(out_bytes)
         self._lib.ht_free_i64(out_offs)
-        return [
-            bytes(data[roffs[i] : roffs[i + 1]]).decode("utf-8")
-            for i in range(len(token_lists))
-        ]
+        return data, roffs

@@ -689,6 +689,11 @@ struct Engine {
   std::vector<std::vector<std::pair<std::string, int>>> rev_by_first =
       std::vector<std::vector<std::pair<std::string, int>>>(256);
   size_t max_pattern_len = 0;
+  // O(1) reverse-remap tables for the common byte-encoder case: every
+  // replacement spelling is one char of <= 2 bytes (the GPT-2 table)
+  std::vector<int16_t> rev1 = std::vector<int16_t>(256, -1);
+  std::vector<int16_t> rev2 = std::vector<int16_t>(65536, -1);
+  bool rev_fast = false;
 
   Engine() : special(256), has_special(256, false) {}
 
@@ -982,6 +987,41 @@ struct Engine {
     if (!prefix.empty() && len >= prefix.size() &&
         std::memcmp(raw.data(), prefix.data(), prefix.size()) == 0)
       i = prefix.size();
+    if (rev_fast && is_byte_encoder) {
+      // per-char table lookups (same semantics as the scan below when
+      // every pattern is a single <= 2-byte char: patterns cannot
+      // overlap char boundaries, so longest-match == exact-char match)
+      out.reserve(out.size() + (len - i));
+      while (i < len) {
+        uint8_t b0 = p[i];
+        if (b0 < 0x80) {
+          int16_t r = rev1[b0];
+          out.push_back(r >= 0 ? char(uint8_t(r)) : char(b0));
+          ++i;
+          continue;
+        }
+        if ((b0 & 0xE0) == 0xC0 && i + 1 < len) {
+          uint8_t b1 = p[i + 1];
+          int16_t r = rev2[(size_t(b0) << 8) | b1];
+          if (r >= 0) {
+            out.push_back(char(uint8_t(r)));
+          } else {
+            uint32_t cp = (uint32_t(b0 & 0x1F) << 6) | (b1 & 0x3F);
+            out.push_back(cp < 256 ? char(uint8_t(cp)) : '?');
+          }
+          i += 2;
+          continue;
+        }
+        int cl = 0;
+        uint32_t cp;
+        if ((b0 & 0xF0) == 0xE0 && i + 2 < len) { cp = 0x10000; cl = 3; }
+        else if ((b0 & 0xF8) == 0xF0 && i + 3 < len) { cp = 0x10000; cl = 4; }
+        else { cp = 0xFFFD; cl = 1; }
+        out.push_back(cp < 256 ? char(uint8_t(cp)) : '?');
+        i += size_t(cl);
+      }
+      return true;
+    }
     while (i < len) {
       bool matched = false;
       for (auto& [pat, idx] : rev_by_first[p[i]]) {
@@ -1250,6 +1290,23 @@ int ht_set_special(Engine* e, const uint8_t* bytes, const int64_t* offsets,
   for (auto& pr : e->rev_patterns)
     if (!pr.first.empty())
       e->rev_by_first[uint8_t(pr.first[0])].push_back(pr);
+  e->rev1.assign(256, -1);
+  e->rev2.assign(65536, -1);
+  e->rev_fast = true;
+  for (auto& pr : e->rev_patterns) {
+    const std::string& pat = pr.first;
+    if (pat.size() == 1 && uint8_t(pat[0]) < 0x80) {
+      e->rev1[uint8_t(pat[0])] = int16_t(pr.second);
+    } else if (pat.size() == 2 && (uint8_t(pat[0]) & 0xE0) == 0xC0) {
+      e->rev2[(size_t(uint8_t(pat[0])) << 8) | uint8_t(pat[1])] =
+          int16_t(pr.second);
+    } else {
+      // multi-char patterns, and >= 0x80 single-byte patterns (which
+      // the positional scan can match inside a multi-byte char):
+      // longest-match scan path
+      e->rev_fast = false;
+    }
+  }
   return 0;
 }
 

@@ -248,32 +248,53 @@ class TpuTokenizer:
         self._build_decode_fast_path()
 
     def _retire(self, objs) -> None:
-        """Drop device-array references on a background thread.
+        """Park device-array references in a deadpool; free in rare bursts.
 
-        Releasing a jax.Array can issue a synchronous buffer-free RPC
-        (expensive on tunneled backends: measured 0.1-0.3 s bursts when
-        a batch's handles die on the hot path), so the last reference is
-        moved to a reaper thread and dies there.
+        Releasing a jax.Array issues a buffer-free RPC (~30 ms each on
+        tunneled backends, measured as 0.1-0.5 s batch stalls wherever
+        the drops land), so references accumulate in a deadpool and only
+        a high-water mark hands the whole pool to a reaper thread.  The
+        pool is bounded by HUTOKEN_TPU_DEADPOOL_MB (default 512) of
+        estimated device bytes — a tiny slice of HBM traded for keeping
+        frees off every batch's critical path.
         """
+        import os as _os
         import queue as _queue
         import threading
 
-        import os as _os
-
         if _os.environ.get("HUTOKEN_TPU_NO_REAPER") == "1":
             return  # drop inline (diagnostics)
+        if not hasattr(self, "_deadpool"):
+            self._deadpool: list = []
+            self._deadpool_bytes = 0
+            self._deadpool_cap = (
+                int(_os.environ.get("HUTOKEN_TPU_DEADPOOL_MB", "512")) << 20
+            )
+        size = 0
+        try:
+            for o in objs if isinstance(objs, (list, tuple)) else [objs]:
+                h = o[0] if isinstance(o, tuple) else o
+                size += int(getattr(h, "nbytes", 0) or 0)
+        except Exception:
+            size = 1 << 20
+        self._deadpool.append(objs)
+        self._deadpool_bytes += max(size, 1)
+        if self._deadpool_bytes < self._deadpool_cap:
+            return
         if self._reaper is None:
             q: _queue.Queue = _queue.Queue()
 
             def _reap() -> None:
                 while True:
                     item = q.get()
-                    del item  # the point: __del__ runs on this thread
+                    del item  # __del__ (and its free RPCs) run here
 
             t = threading.Thread(target=_reap, daemon=True)
             t.start()
             self._reaper = q
-        self._reaper.put(objs)
+        self._reaper.put(self._deadpool)
+        self._deadpool = []
+        self._deadpool_bytes = 0
 
     def _pool_reserve(self, n: int) -> None:
         need = self._cache_used + n
@@ -962,24 +983,32 @@ class TpuTokenizer:
         self, bucket: int, gids: np.ndarray, raw: np.ndarray,
         lens: np.ndarray, pending: list,
     ) -> None:
-        """Launch pre-packed, length-sorted byte rows as fixed-row blocks."""
+        """Launch pre-packed, length-sorted byte rows as fixed-row blocks.
+
+        The final partial block shrinks to the smallest row count
+        (rows/4, rows/16) that still fits — the stream tail's compute
+        and transfer sit exposed at the end of the batch, so a mostly
+        padded full-size block there costs real wall time."""
         rows = ROW_BLOCKS[bucket]
         n = len(gids)
         lo = 0
         while lo < n:
             hi = min(lo + rows, n)
             k = hi - lo
+            r = rows
+            while r // 4 >= k and r // 4 >= 64:
+                r //= 4
             block = raw[lo:hi]
-            if k < rows:
-                block = np.zeros((rows, bucket), dtype=np.uint8)
+            if k < r:
+                block = np.zeros((r, bucket), dtype=np.uint8)
                 block[:k] = raw[lo:hi]
-            lens_pad = np.zeros(rows, dtype=np.int32)
+            lens_pad = np.zeros(r, dtype=np.int32)
             lens_pad[:k] = lens[lo:hi]
             handle = self._merge_bytes_block(
                 block, lens_pad, int(lens[lo:hi].max(initial=1))
             )
             self._stage_launch(
-                handle, gids[lo:hi], rows, int(lens[lo:hi].sum()), pending
+                handle, gids[lo:hi], r, int(lens[lo:hi].sum()), pending
             )
             lo = hi
 

@@ -661,26 +661,9 @@ class TpuTokenizer:
             groups.append((glo, len(texts)))
 
         def _prep(lo: int, hi: int):
-            chunk = texts[lo:hi]
-            if chunk and all(t.isascii() for t in chunk):
-                lens = np.fromiter(
-                    map(len, chunk), dtype=np.int64, count=len(chunk)
-                )
-                gblob = "".join(chunk).encode("utf-8")
-            else:
-                enc = [t.encode("utf-8") for t in chunk]
-                lens = np.fromiter(
-                    map(len, enc), dtype=np.int64, count=len(enc)
-                )
-                gblob = b"".join(enc)
-            doc_off = np.zeros(len(chunk) + 1, dtype=np.int64)
-            np.cumsum(lens, out=doc_off[1:])
-            blob_np_g = (
-                np.frombuffer(gblob, dtype=np.uint8)
-                if gblob
-                else np.zeros(1, np.uint8)
-            )
-            return blob_np_g, doc_off, gblob
+            # per-doc buffers only: the native splitter takes pointers,
+            # so the corpus is never joined into one blob
+            return [t.encode("utf-8") for t in texts[lo:hi]]
 
         pending: list = []
         group_refs: list[np.ndarray] = []
@@ -742,13 +725,12 @@ class TpuTokenizer:
         def _producer():
             try:
                 while True:
-                    item = prepq.get()
-                    if item is None:
+                    enc = prepq.get()
+                    if enc is None:
                         splitq.put(None)
                         return
-                    blob_np_g, doc_off_g, gblob = item
-                    res = interner.split_intern(blob_np_g, doc_off_g)
-                    splitq.put((blob_np_g, gblob, res))
+                    res = interner.split_intern_docs(enc)
+                    splitq.put(res)
             except BaseException as e:  # re-raised on the main thread
                 splitq.put(e)
 
@@ -808,19 +790,21 @@ class TpuTokenizer:
                 drainq.put(None)
                 raise item
             n_done += 1
-            blob_np, gblob, (wg, dwo, new_off, new_len, prev) = item
+            wg, dwo, nb, new_len, prev = item
             tg = _time.perf_counter()
 
             n_new = len(new_len)
             self._ensure_gid_capacity(prev + n_new)
             if n_new:
+                # first-seen words arrive as one compact byte blob (a
+                # few KB per group) with per-word lengths
                 gids = np.arange(prev, prev + n_new, dtype=np.int64)
                 nl = new_len.astype(np.int64)
-                no = new_off
+                no = np.concatenate(([0], np.cumsum(nl)[:-1]))
                 if byte_fast:
                     m1 = nl == 1
                     if m1.any():
-                        ids1 = bseed[blob_np[no[m1]]].astype(np.int32)
+                        ids1 = bseed[nb[no[m1]]].astype(np.int32)
                         base = self._pool_append_flat(ids1)
                         g1 = gids[m1]
                         self._gid_start[g1] = base + np.arange(
@@ -842,18 +826,23 @@ class TpuTokenizer:
                             np.cumsum(ln) - ln, ln
                         )
                         rows_idx = np.repeat(np.arange(k), ln)
-                        raw[rows_idx, pos] = blob_np[np.repeat(off, ln) + pos]
+                        raw[rows_idx, pos] = nb[np.repeat(off, ln) + pos]
                         carry_byte[b].append((gids[sel], raw, ln))
-                    for i in np.flatnonzero(nl > MAX_DEVICE_LEN):  # rare
-                        wb = gblob[no[i] : no[i] + nl[i]]
-                        sp = self._pool_append(self._encode_word_host(wb, None))
-                        self._gid_start[gids[i]] = sp[0]
-                        self._gid_len[gids[i]] = sp[1]
+                    if (nl > MAX_DEVICE_LEN).any():
+                        nbb = nb.tobytes()
+                        for i in np.flatnonzero(nl > MAX_DEVICE_LEN):
+                            wb = nbb[no[i] : no[i] + nl[i]]
+                            sp = self._pool_append(
+                                self._encode_word_host(wb, None)
+                            )
+                            self._gid_start[gids[i]] = sp[0]
+                            self._gid_len[gids[i]] = sp[1]
                 else:
+                    nbb = nb.tobytes()
                     no_l = no.tolist()
                     nl_l = new_len.tolist()
                     for i in range(n_new):
-                        wb = gblob[no_l[i] : no_l[i] + nl_l[i]]
+                        wb = nbb[no_l[i] : no_l[i] + nl_l[i]]
                         self._resolve_generic(
                             wb, gids[i], carry_ids,
                             self._gid_start, self._gid_len,

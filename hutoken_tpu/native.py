@@ -109,6 +109,14 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
         ctypes.POINTER(_i64p), ctypes.POINTER(_i32p),
     ]
+    lib.ht_split_intern_docs.restype = ctypes.c_int64
+    lib.ht_split_intern_docs.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), _i64p,
+        ctypes.c_int64,
+        ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
+        ctypes.POINTER(_u8p), ctypes.POINTER(_i32p),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.ht_assemble.restype = ctypes.c_int64
     lib.ht_assemble.argtypes = [
         _i32p, ctypes.c_int64, _i64p, ctypes.c_int64,
@@ -210,6 +218,49 @@ class WordInterner:
         lib.ht_free_i64(no)
         lib.ht_free_i32(nl)
         return wg_np, dwo_np, no_np, nl_np, int(prev)
+
+    def split_intern_docs(self, docs: list):
+        """Split + intern per-document byte buffers (no concatenated
+        blob).  Returns (word_gids int32, doc_word_offsets int64,
+        new_blob uint8 np array, new_lens int32, prev_count): first-seen
+        words are gids [prev, prev+len(new_lens)), their bytes packed
+        back-to-back in new_blob.
+
+        The caller must keep ``docs`` (bytes objects) alive for the
+        duration of the call (ctypes passes their internal pointers).
+        """
+        lib = self._lib
+        n_docs = len(docs)
+        ptrs = (ctypes.c_char_p * max(n_docs, 1))(*docs)
+        lens = np.fromiter(
+            map(len, docs), dtype=np.int64, count=n_docs
+        ) if n_docs else np.zeros(1, dtype=np.int64)
+        wg = _i32p()
+        dwo = _i64p()
+        nb = _u8p()
+        nl = _i32p()
+        n_new_c = ctypes.c_int64(0)
+        prev = lib.ht_split_intern_docs(
+            self._h, ptrs, _np_i64p(lens), n_docs,
+            ctypes.byref(wg), ctypes.byref(dwo),
+            ctypes.byref(nb), ctypes.byref(nl), ctypes.byref(n_new_c),
+        )
+        n_new = int(n_new_c.value)
+        dwo_np = np.ctypeslib.as_array(dwo, shape=(n_docs + 1,)).copy()
+        total_words = int(dwo_np[-1])
+        wg_np = np.ctypeslib.as_array(wg, shape=(max(total_words, 1),))[
+            :total_words
+        ].copy()
+        nl_np = np.ctypeslib.as_array(nl, shape=(max(n_new, 1),))[:n_new].copy()
+        blob_len = int(nl_np.sum()) if n_new else 0
+        nb_np = np.ctypeslib.as_array(nb, shape=(max(blob_len, 1),))[
+            :blob_len
+        ].copy()
+        lib.ht_free_i32(wg)
+        lib.ht_free_i64(dwo)
+        lib.ht_free_u8(nb)
+        lib.ht_free_i32(nl)
+        return wg_np, dwo_np, nb_np, nl_np, int(prev)
 
 
 def assemble(

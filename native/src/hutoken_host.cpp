@@ -1757,6 +1757,188 @@ int64_t ht_split_intern(Interner* interner, const uint8_t* text,
   return prev_count;
 }
 
+
+// Split + intern over PER-DOCUMENT buffers (no concatenated blob): the
+// caller passes one pointer+length per document, and first-seen words
+// come back as a compact byte blob + lengths.  Saves the O(corpus)
+// join copy and lets the engine resolve new words from a few-KB blob
+// instead of gathering from the full corpus.
+int64_t ht_split_intern_docs(Interner* interner, const uint8_t* const* docs,
+                             const int64_t* lens, int64_t n_docs,
+                             int32_t** out_word_gids,  // per doc-word
+                             int64_t** out_doc_word_offsets,  // n_docs+1
+                             uint8_t** out_new_blob,   // concat new words
+                             int32_t** out_new_lens,   // [new-prev]
+                             int64_t* out_new_count) {
+  int n_threads = split_thread_count();
+  // pointer-keyed local maps: first-occurrence pointers stay valid for
+  // the duration of the call (the caller holds the doc buffers)
+  struct PSlot {
+    uint64_t lo = 0, hi = 0;
+    const uint8_t* ptr = nullptr;
+    int32_t len = 0;
+    int32_t idx = 0;
+  };
+  struct PLocal {
+    std::vector<PSlot> slots = std::vector<PSlot>(1 << 13);
+    uint64_t mask = (1 << 13) - 1;
+    size_t count = 0;
+    std::vector<const uint8_t*> uptr;
+    std::vector<int32_t> ulen;
+    std::vector<uint64_t> ulo, uhi, uh;
+
+    int32_t intern_keyed(const uint8_t* p, int32_t len, uint64_t lo,
+                         uint64_t hi, uint64_t h) {
+      size_t i = h & mask;
+      if (len <= 16) {
+        while (slots[i].ptr != nullptr) {
+          const PSlot& s = slots[i];
+          if (s.len == len && s.lo == lo && s.hi == hi) return s.idx;
+          i = (i + 1) & mask;
+        }
+      } else {
+        while (slots[i].ptr != nullptr) {
+          const PSlot& s = slots[i];
+          if (s.len == len && s.lo == lo && s.hi == hi &&
+              std::memcmp(s.ptr, p, size_t(len)) == 0)
+            return s.idx;
+          i = (i + 1) & mask;
+        }
+      }
+      int32_t id = int32_t(count);
+      slots[i] = PSlot{lo, hi, p, len, id};
+      uptr.push_back(p);
+      ulen.push_back(len);
+      ulo.push_back(lo);
+      uhi.push_back(hi);
+      uh.push_back(h);
+      if (++count * 2 >= slots.size()) grow();
+      return id;
+    }
+    void grow() {
+      std::vector<PSlot> old;
+      old.swap(slots);
+      slots.assign(old.size() * 2, PSlot{});
+      mask = slots.size() - 1;
+      for (auto& s : old) {
+        if (s.ptr == nullptr) continue;
+        size_t i = uh[size_t(s.idx)] & mask;
+        while (slots[i].ptr != nullptr) i = (i + 1) & mask;
+        slots[i] = s;
+      }
+    }
+  };
+  std::vector<PLocal> locals{size_t(n_threads)};
+  std::vector<std::vector<int32_t>> doc_refs(static_cast<size_t>(n_docs));
+  std::vector<uint8_t> doc_owner(
+      static_cast<size_t>(std::max<int64_t>(n_docs, 1)));
+  {
+    std::atomic<int64_t> next(0);
+    auto worker = [&](int t) {
+      PLocal& loc = locals[size_t(t)];
+      std::vector<std::pair<int64_t, int64_t>> words;
+      std::vector<int32_t> starts;
+      while (true) {
+        int64_t d = next.fetch_add(1);
+        if (d >= n_docs) break;
+        doc_owner[size_t(d)] = uint8_t(t);
+        const uint8_t* doc = docs[d];
+        size_t dn = size_t(lens[d]);
+        auto& refs = doc_refs[size_t(d)];
+        if (have_simd_split()) {
+          starts.clear();
+          split_starts_hybrid(doc, dn, starts);
+          size_t nw = starts.size();
+          refs.reserve(nw);
+          constexpr size_t CH = 32;
+          uint64_t klo[CH], khi[CH], kh[CH];
+          int32_t klen[CH];
+          int32_t kofs[CH];
+          for (size_t base = 0; base < nw; base += CH) {
+            size_t m = std::min(CH, nw - base);
+            for (size_t j = 0; j < m; ++j) {
+              size_t w = base + j;
+              int64_t sp = starts[w];
+              int64_t ep =
+                  (w + 1 < nw) ? int64_t(starts[w + 1]) : int64_t(dn);
+              kofs[j] = int32_t(sp);
+              klen[j] = int32_t(ep - sp);
+              kh[j] =
+                  word_key_hash(doc + sp, size_t(klen[j]), &klo[j], &khi[j]);
+              __builtin_prefetch(&loc.slots[kh[j] & loc.mask], 0, 1);
+            }
+            for (size_t j = 0; j < m; ++j)
+              refs.push_back(loc.intern_keyed(doc + kofs[j], klen[j], klo[j],
+                                              khi[j], kh[j]));
+          }
+          continue;
+        }
+        words.clear();
+        split_words(doc, dn, words);
+        refs.reserve(words.size());
+        for (auto& [sp, ep] : words) {
+          if (ep <= sp) continue;
+          uint64_t lo, hi;
+          int32_t len = int32_t(ep - sp);
+          uint64_t h = word_key_hash(doc + sp, size_t(len), &lo, &hi);
+          refs.push_back(loc.intern_keyed(doc + sp, len, lo, hi, h));
+        }
+      }
+    };
+    if (n_threads == 1) {
+      worker(0);
+    } else {
+      std::vector<std::thread> pool;
+      for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
+      worker(0);
+      for (auto& th : pool) th.join();
+    }
+  }
+
+  // serial merge into the PERSISTENT map; collect new words' bytes
+  int64_t prev_count = interner->count();
+  std::vector<uint8_t> new_blob;
+  std::vector<int32_t> new_len;
+  std::vector<std::vector<int32_t>> remap{size_t(n_threads)};
+  for (int t = 0; t < n_threads; ++t) {
+    PLocal& loc = locals[size_t(t)];
+    remap[size_t(t)].resize(loc.count);
+    for (size_t u = 0; u < loc.count; ++u) {
+      int64_t before = interner->count();
+      int64_t gid = interner->intern_keyed(loc.uptr[u], loc.ulen[u],
+                                           loc.ulo[u], loc.uhi[u], loc.uh[u]);
+      if (gid == before) {  // first-ever sighting
+        new_blob.insert(new_blob.end(), loc.uptr[u],
+                        loc.uptr[u] + loc.ulen[u]);
+        new_len.push_back(loc.ulen[u]);
+      }
+      remap[size_t(t)][u] = int32_t(gid);
+    }
+  }
+
+  std::vector<int64_t> dwo(size_t(n_docs) + 1, 0);
+  for (int64_t d = 0; d < n_docs; ++d)
+    dwo[size_t(d) + 1] = dwo[size_t(d)] + int64_t(doc_refs[size_t(d)].size());
+  int32_t* word_gids =
+      remap_doc_refs(doc_refs, doc_owner, remap, dwo, n_docs, n_threads);
+
+  auto* dwo_out = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * (size_t(n_docs) + 1)));
+  std::memcpy(dwo_out, dwo.data(), (size_t(n_docs) + 1) * sizeof(int64_t));
+  auto* blob_out = static_cast<uint8_t*>(
+      malloc(std::max<size_t>(new_blob.size(), 1)));
+  std::memcpy(blob_out, new_blob.data(), new_blob.size());
+  auto* nl_out = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * std::max<size_t>(new_len.size(), 1)));
+  std::memcpy(nl_out, new_len.data(), new_len.size() * sizeof(int32_t));
+  *out_word_gids = word_gids;
+  *out_doc_word_offsets = dwo_out;
+  *out_new_blob = blob_out;
+  *out_new_lens = nl_out;
+  *out_new_count = int64_t(new_len.size());
+  return prev_count;
+}
+
 void ht_free_i32(int32_t* p) { free(p); }
 void ht_free_i64(int64_t* p) { free(p); }
 void ht_free_u8(uint8_t* p) { free(p); }

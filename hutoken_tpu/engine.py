@@ -297,7 +297,10 @@ class TpuTokenizer:
         self._deadpool_bytes = 0
 
     def _pool_reserve(self, n: int) -> None:
-        need = self._cache_used + n
+        # +4 keeps readable slack after the last span: the native
+        # assemble fill copies in 16-byte chunks and may overread (never
+        # overwrite) up to 3 ints past a span end
+        need = self._cache_used + n + 4
         if need > self._cache_pool.shape[0]:
             cap = self._cache_pool.shape[0]
             while cap < need:

@@ -123,6 +123,13 @@ def load_native() -> Optional[ctypes.CDLL]:
         _i64p, _i64p, _i32p,
         ctypes.POINTER(_i32p), ctypes.POINTER(_i64p),
     ]
+    lib.ht_assemble_counts.restype = ctypes.c_int64
+    lib.ht_assemble_counts.argtypes = [
+        _i32p, _i64p, ctypes.c_int64, _i64p, _i64p,
+    ]
+    lib.ht_assemble_fill.argtypes = [
+        _i32p, _i64p, ctypes.c_int64, _i64p, _i32p, _i64p, _i32p,
+    ]
     lib.ht_free_i32.argtypes = [_i32p]
     lib.ht_free_i64.argtypes = [_i64p]
     lib.ht_free_u8.argtypes = [_u8p]
@@ -283,6 +290,34 @@ def assemble(
     span_len = np.ascontiguousarray(span_len, dtype=np.int64)
     pool = np.ascontiguousarray(pool, dtype=np.int32)
     n_docs = len(doc_word_offsets) - 1
+    n_spans = span_start.shape[0]
+    # fast two-call ABI: packed spans, caller-allocated outputs, chunked
+    # copies.  Fits when every span len < 2^24 and start < 2^39 (any
+    # realistic pool; a single pathological >16M-token word falls back),
+    # and requires 4 int32 of readable slack after the last pool byte.
+    if (
+        n_spans == 0
+        or (
+            int(span_len.max(initial=0)) < (1 << 24)
+            and int(span_start.max(initial=0)) < (1 << 39)
+        )
+    ):
+        ends = span_start + span_len
+        if int(ends.max(initial=0)) + 4 > pool.shape[0]:
+            pool = np.concatenate([pool, np.zeros(4, dtype=np.int32)])
+        packed = (span_start << 24) | span_len
+        offs = np.empty(n_docs + 1, dtype=np.int64)
+        total = lib.ht_assemble_counts(
+            _np_i32p(word_refs), _np_i64p(doc_word_offsets), n_docs,
+            _np_i64p(packed), _np_i64p(offs),
+        )
+        toks = np.empty(max(int(total), 1), dtype=np.int32)
+        lib.ht_assemble_fill(
+            _np_i32p(word_refs), _np_i64p(doc_word_offsets), n_docs,
+            _np_i64p(packed), _np_i32p(pool), _np_i64p(offs),
+            _np_i32p(toks),
+        )
+        return toks[: int(total)], offs
     out_toks = _i32p()
     out_offs = _i64p()
     total = lib.ht_assemble(

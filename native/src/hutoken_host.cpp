@@ -1691,6 +1691,84 @@ int64_t ht_assemble(const int32_t* word_ref, int64_t total_words,
   return total_tokens;
 }
 
+// Two-call assembly ABI (faster form of ht_assemble): spans arrive
+// packed one int64 per unique word (start << 24 | len, len < 2^24 —
+// the caller checks), outputs land in CALLER-allocated buffers (no
+// result copy on the Python side), and the copy loop uses fixed
+// 16-byte chunks for the short spans that dominate real text (a word
+// is 1-4 tokens almost always; per-word memcpy dispatch overhead is
+// the bulk of ht_assemble's cost).  The caller guarantees 4 int32 of
+// readable slack after the last pool span (overreads never cross the
+// buffer end); writes stay exact at each document's final word so
+// parallel doc ranges never touch a neighbour's output.
+int64_t ht_assemble_counts(const int32_t* word_ref,
+                           const int64_t* doc_word_offsets, int64_t n_docs,
+                           const int64_t* span_packed,
+                           int64_t* doc_off /* n_docs+1, caller-alloc */) {
+  int n_threads = split_thread_count();
+  {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      while (true) {
+        int64_t d = next.fetch_add(1);
+        if (d >= n_docs) break;
+        int64_t total = 0;
+        for (int64_t w = doc_word_offsets[d]; w < doc_word_offsets[d + 1];
+             ++w)
+          total += span_packed[word_ref[w]] & 0xFFFFFF;
+        doc_off[d + 1] = total;
+      }
+    };
+    std::vector<std::thread> pool_t;
+    for (int t = 1; t < n_threads; ++t) pool_t.emplace_back(worker);
+    worker();
+    for (auto& th : pool_t) th.join();
+  }
+  doc_off[0] = 0;
+  for (int64_t d = 0; d < n_docs; ++d) doc_off[d + 1] += doc_off[d];
+  return doc_off[n_docs];
+}
+
+void ht_assemble_fill(const int32_t* word_ref,
+                      const int64_t* doc_word_offsets, int64_t n_docs,
+                      const int64_t* span_packed, const int32_t* pool,
+                      const int64_t* doc_off,
+                      int32_t* toks /* caller-alloc, doc_off[n_docs] */) {
+  int n_threads = split_thread_count();
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t d = next.fetch_add(1);
+      if (d >= n_docs) break;
+      int64_t pos = doc_off[d];
+      int64_t doc_end = doc_off[d + 1];
+      for (int64_t w = doc_word_offsets[d]; w < doc_word_offsets[d + 1];
+           ++w) {
+        int64_t pk = span_packed[word_ref[w]];
+        const int32_t* src = pool + (pk >> 24);
+        int64_t len = pk & 0xFFFFFF;
+        int32_t* dst = toks + pos;
+        if (pos + ((len + 3) & ~int64_t(3)) <= doc_end) {
+          // 16-byte chunks; the (< 4 token) overhang stays inside this
+          // doc's own region and is overwritten by the doc's next words
+          std::memcpy(dst, src, 16);
+          for (int64_t c = 4; c < len; c += 4)
+            std::memcpy(dst + c, src + c, 16);
+        } else {
+          // near the doc end the overhang would cross into the next
+          // doc's range (owned by another thread): copy exactly
+          std::memcpy(dst, src, size_t(len) * sizeof(int32_t));
+        }
+        pos += len;
+      }
+    }
+  };
+  std::vector<std::thread> pool_t;
+  for (int t = 1; t < n_threads; ++t) pool_t.emplace_back(worker);
+  worker();
+  for (auto& th : pool_t) th.join();
+}
+
 Interner* ht_interner_create() { return new Interner(); }
 void ht_interner_destroy(Interner* it) { delete it; }
 int64_t ht_interner_count(Interner* it) { return it->count(); }

@@ -35,6 +35,7 @@ decode_batch_device).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -60,7 +61,7 @@ ROW_BLOCKS = {32: 4096, 128: 1024}
 # documents are processed in byte-bounded groups; the producer thread
 # splits group g+1 while the main thread resolves/launches group g and
 # the drainer downloads finished blocks — smaller groups = finer overlap
-GROUP_BYTES = 1 << 20
+GROUP_BYTES = int(os.environ.get("HUTOKEN_TPU_GROUP_BYTES", 2 << 20))
 
 
 def _enable_compilation_cache() -> None:
@@ -664,9 +665,9 @@ class TpuTokenizer:
             groups.append((glo, len(texts)))
 
         def _prep(lo: int, hi: int):
-            # per-doc buffers only: the native splitter takes pointers,
-            # so the corpus is never joined into one blob
-            return [t.encode("utf-8") for t in texts[lo:hi]]
+            # per-doc str objects: the native splitter reads CPython's
+            # cached UTF-8 buffers directly (no encode, no blob join)
+            return texts[lo:hi]
 
         pending: list = []
         group_refs: list[np.ndarray] = []
@@ -732,7 +733,7 @@ class TpuTokenizer:
                     if enc is None:
                         splitq.put(None)
                         return
-                    res = interner.split_intern_docs(enc)
+                    res = interner.split_intern_strs(enc)
                     splitq.put(res)
             except BaseException as e:  # re-raised on the main thread
                 splitq.put(e)

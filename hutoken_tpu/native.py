@@ -270,6 +270,68 @@ class WordInterner:
         return wg_np, dwo_np, nb_np, nl_np, int(prev)
 
 
+    def split_intern_strs(self, texts: list):
+        """`split_intern_docs` over ``str`` documents without per-doc
+        ``bytes`` copies: document pointers come from CPython's cached
+        UTF-8 representation (``PyUnicode_AsUTF8AndSize``) — for ASCII
+        strings that IS the string's own storage, so prep is pointer
+        collection, not an O(corpus) encode+alloc pass.  The caller
+        must keep ``texts`` alive for the duration of the call.
+        """
+        lib = self._lib
+        n_docs = len(texts)
+        as_utf8 = _py_as_utf8()
+        ptrs = (ctypes.c_void_p * max(n_docs, 1))()
+        lens = np.zeros(max(n_docs, 1), dtype=np.int64)
+        sz = ctypes.c_ssize_t(0)
+        szref = ctypes.byref(sz)
+        for i, t in enumerate(texts):
+            ptrs[i] = as_utf8(t, szref)
+            lens[i] = sz.value
+        wg = _i32p()
+        dwo = _i64p()
+        nb = _u8p()
+        nl = _i32p()
+        n_new_c = ctypes.c_int64(0)
+        prev = lib.ht_split_intern_docs(
+            self._h, ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_char_p)),
+            _np_i64p(lens), n_docs,
+            ctypes.byref(wg), ctypes.byref(dwo),
+            ctypes.byref(nb), ctypes.byref(nl), ctypes.byref(n_new_c),
+        )
+        n_new = int(n_new_c.value)
+        dwo_np = np.ctypeslib.as_array(dwo, shape=(n_docs + 1,)).copy()
+        total_words = int(dwo_np[-1])
+        wg_np = np.ctypeslib.as_array(wg, shape=(max(total_words, 1),))[
+            :total_words
+        ].copy()
+        nl_np = np.ctypeslib.as_array(nl, shape=(max(n_new, 1),))[:n_new].copy()
+        blob_len = int(nl_np.sum()) if n_new else 0
+        nb_np = np.ctypeslib.as_array(nb, shape=(max(blob_len, 1),))[
+            :blob_len
+        ].copy()
+        lib.ht_free_i32(wg)
+        lib.ht_free_i64(dwo)
+        lib.ht_free_u8(nb)
+        lib.ht_free_i32(nl)
+        return wg_np, dwo_np, nb_np, nl_np, int(prev)
+
+
+_as_utf8_fn = None
+
+
+def _py_as_utf8():
+    """``PyUnicode_AsUTF8AndSize`` via ctypes (no bytes-object copies).
+    The returned pointer is owned by the str and cached on it."""
+    global _as_utf8_fn
+    if _as_utf8_fn is None:
+        f = ctypes.pythonapi.PyUnicode_AsUTF8AndSize
+        f.restype = ctypes.c_void_p
+        f.argtypes = [ctypes.py_object, ctypes.POINTER(ctypes.c_ssize_t)]
+        _as_utf8_fn = f
+    return _as_utf8_fn
+
+
 def assemble(
     word_refs: np.ndarray,
     doc_word_offsets: np.ndarray,

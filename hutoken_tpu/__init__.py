@@ -144,7 +144,7 @@ def _get_engine():
     if _engine is None:
         from .engine import TpuTokenizer
 
-        _engine = TpuTokenizer(_ctx)
+        _engine = TpuTokenizer(_ctx, prefer_device_decode=(_backend == "device"))
     return _engine
 
 
@@ -248,7 +248,9 @@ def batch_decode(tokens: list[list[int]], num_threads: int = 1) -> list[str]:
             # reference: src/lib.c:977-980
             raise ValueError("No tokens provided.")
         if _use_device(batch=True):
-            return _get_engine().decode_batch([list(t) for t in tokens])
+            return _get_engine().decode_batch(
+                [list(t) for t in tokens], num_threads=num_threads
+            )
         native = _get_native()
         if native is not None:
             return native.decode_batch([list(t) for t in tokens], num_threads)

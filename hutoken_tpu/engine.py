@@ -61,7 +61,12 @@ ROW_BLOCKS = {32: 4096, 128: 1024}
 # documents are processed in byte-bounded groups; the producer thread
 # splits group g+1 while the main thread resolves/launches group g and
 # the drainer downloads finished blocks — smaller groups = finer overlap
-GROUP_BYTES = int(os.environ.get("HUTOKEN_TPU_GROUP_BYTES", 2 << 20))
+try:
+    GROUP_BYTES = int(os.environ.get("HUTOKEN_TPU_GROUP_BYTES", 2 << 20))
+except ValueError:
+    GROUP_BYTES = 2 << 20
+if GROUP_BYTES < (64 << 10):  # degenerate groups kill pipeline overlap
+    GROUP_BYTES = 64 << 10
 
 
 def _enable_compilation_cache() -> None:
@@ -91,7 +96,8 @@ class TpuTokenizer:
     """
 
     def __init__(
-        self, ctx: TokenizerContext, *, interpret: bool = False, mesh=None
+        self, ctx: TokenizerContext, *, interpret: bool = False, mesh=None,
+        prefer_device_decode: bool = False,
     ):
         """``mesh``: an optional ``jax.sharding.Mesh``; when given, every
         device block launch is sharded over the mesh's first axis (rows
@@ -108,6 +114,10 @@ class TpuTokenizer:
         self._jax = jax
         self._jnp = jnp
         self._mesh = mesh
+        # facade backend="device" flows here so decode routes to the
+        # device kernel without the HUTOKEN_TPU_DECODE env override
+        # (reference honors the caller's engine choice: src/lib.c:954-1094)
+        self._prefer_device_decode = prefer_device_decode
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -1226,24 +1236,34 @@ class TpuTokenizer:
                 fast = False
         self._decode_fast = fast
 
-    def decode_batch(self, token_lists: list[list[int]]) -> list[str]:
+    def decode_batch(
+        self, token_lists: list[list[int]], num_threads: Optional[int] = None
+    ) -> list[str]:
         import os as _os
 
         V = self.tables.vocab_size
+        dec_env = _os.environ.get("HUTOKEN_TPU_DECODE")
+        want_device = dec_env == "device" or (
+            self._prefer_device_decode and dec_env is None
+        )
         if (
             self._decode_fast
             and self.ctx.prefix is None
             and token_lists
-            and _os.environ.get("HUTOKEN_TPU_DECODE") == "device"
+            and want_device
         ):
             return self.decode_batch_device(token_lists)
         # the native C++ decoder (threaded per-doc concat + reverse scan)
         # beats the numpy flat path ~10x on list-of-lists inputs; exact
-        # parity is tested in tests/test_native.py
+        # parity is tested in tests/test_native.py.  The caller's thread
+        # count is honored (reference: src/lib.c:954-1094); default 2
+        # matches this host's core count.
         if token_lists and self._native_split_ok:
             nat = self._native_word_encoder()
             if nat is not None:
-                return nat.decode_batch(token_lists, num_threads=2)
+                return nat.decode_batch(
+                    token_lists, num_threads=num_threads or 2
+                )
         if self._decode_fast and self.ctx.prefix is None and token_lists:
             return self._decode_batch_flat(token_lists)
         out: list[str] = []

@@ -277,6 +277,12 @@ class WordInterner:
         strings that IS the string's own storage, so prep is pointer
         collection, not an O(corpus) encode+alloc pass.  The caller
         must keep ``texts`` alive for the duration of the call.
+
+        Cost note: for NON-ASCII strings CPython materializes and caches
+        a UTF-8 copy on the string object, which persists for the
+        string's lifetime (~2x resident memory for such documents).  A
+        NULL return (allocation failure) surfaces via ctypes' PyDLL
+        error propagation before the native call runs.
         """
         lib = self._lib
         n_docs = len(texts)

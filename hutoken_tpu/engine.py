@@ -239,6 +239,33 @@ class TpuTokenizer:
         self._prefix_run: Optional[list[int]] = None
         # byte-mode fast-path support arrays
         self._u16_out = self.tables.vocab_size < 0xFFFF
+        # fused Pallas merge kernel (ops/pallas_merge.py): serves words
+        # <= 16 bytes for small/mid pair tables entirely on-chip; the
+        # XLA kernels remain for longer words and big tables
+        self._pallas_tab = None
+        self._pallas_interpret = False
+        pallas_env = _os.environ.get("HUTOKEN_TPU_PALLAS", "1")
+        if (
+            pallas_env != "0"
+            and self.tables.is_byte_encoder
+            and self.tables.byte_seed_ids is not None
+            and mesh is None
+        ):
+            on_tpu = jax.default_backend() not in ("cpu",)
+            if on_tpu or pallas_env == "interpret":
+                from .ops.pallas_merge import build_pallas_table
+
+                self._pallas_tab = build_pallas_table(
+                    self.tables.pairs,
+                    self.tables.byte_seed_ids,
+                    self.ctx.vocab.id2str,
+                )
+                self._pallas_interpret = pallas_env == "interpret"
+                if self._pallas_tab is not None:
+                    log_debug(
+                        "pallas merge kernel: depth=%d multi_ok=%s",
+                        self._pallas_tab.depth, self._pallas_tab.multi_ok,
+                    )
         if self.tables.byte_seed_ids is not None:
             self._byte_seed_dev = _table(self.tables.byte_seed_ids)
             # single-byte words bypass the device entirely
@@ -1199,8 +1226,6 @@ class TpuTokenizer:
                 D,
                 self._u16_out,
             )
-        from .ops.merge import merge_words_from_bytes_packed
-
         # slice the lane axis to the real content width (length-sorted
         # blocks are homogeneous): initial-rank probes and merge rounds
         # scale with the true max length instead of the bucket width
@@ -1211,6 +1236,23 @@ class TpuTokenizer:
             W *= 2
         if W < L:
             raw = raw[:, :W]
+        if self._pallas_tab is not None and W <= 16:
+            gw = 8 if W <= 8 else 16
+            wpr = 128 // gw
+            from .ops.pallas_merge import ROW_TILE, merge_words_from_bytes_pallas
+
+            rows_mult = ROW_TILE * wpr
+            if raw.shape[0] % rows_mult == 0:
+                return merge_words_from_bytes_pallas(
+                    self._pallas_tab,
+                    self._place_rows(np.ascontiguousarray(raw)),
+                    self._place_vec(lens),
+                    self._u16_out,
+                    group_w=gw,
+                    interpret=self._pallas_interpret,
+                )
+        from .ops.merge import merge_words_from_bytes_packed
+
         return merge_words_from_bytes_packed(
             self.table_arrays,
             self._byte_seed_dev,

@@ -11,18 +11,23 @@ import sys
 # force-override: the environment pins JAX_PLATFORMS=axon (tunneled TPU),
 # and the axon plugin re-asserts itself over the env var, so the platform
 # must be pinned at the config level before any backend use.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# HUTOKEN_TPU_TESTS_ON_TPU=1 skips the pin so the accelerator-gated tests
+# (e.g. test_pallas_merge.py compiled-kernel parity) run on the real chip.
+_ON_TPU = os.environ.get("HUTOKEN_TPU_TESTS_ON_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -282,6 +282,9 @@ class TpuTokenizer:
             self._native_split_ok = load_native() is not None
         except Exception:
             self._native_split_ok = False
+        # cumulative seed elements (bytes, on the byte path) launched to
+        # the device — bench.py reports device_byte_share from this
+        self.stat_device_bytes = 0
         self._reaper = None
         self._build_decode_fast_path()
 
@@ -578,6 +581,10 @@ class TpuTokenizer:
         """Slice a launched block to its packed prefix and start its
         device->host transfer immediately, so by extraction time the
         bytes are already on the host (or in flight)."""
+        # tok_bound = real seed elements in the launch (= word bytes on
+        # the byte path): the honest "how much work reached the device"
+        # counter behind bench.py's device_byte_share
+        self.stat_device_bytes += int(tok_bound)
         sliced = self._slice_packed(handle, rows, tok_bound)
         try:
             sliced.copy_to_host_async()

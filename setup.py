@@ -1,0 +1,46 @@
+"""Build the native host engine into the wheel.
+
+The reference compiles its C extension at install time (reference:
+setup.py:27-43); here the C++ host engine (native/src/hutoken_host.cpp)
+is built as a plain shared library loaded via ctypes and shipped inside
+the package (hutoken_tpu/_native/libhutoken_host.so).  The Extension is
+``optional``: if no C++ toolchain is present the wheel installs pure
+Python and the engine falls back to the numpy/oracle paths.
+"""
+
+import os
+
+from setuptools import Extension, setup
+from setuptools.command.build_ext import build_ext
+
+
+class NativeLibBuild(build_ext):
+    """Build a ctypes shared library (not a CPython extension)."""
+
+    def get_ext_filename(self, fullname):
+        if fullname.endswith("libhutoken_host"):
+            return os.path.join(*fullname.split(".")) + ".so"
+        return super().get_ext_filename(fullname)
+
+    def get_export_symbols(self, ext):
+        # default implementation insists on PyInit_<name>
+        return ext.export_symbols
+
+
+_march = os.environ.get("HUTOKEN_TPU_MARCH", "native")
+
+native_ext = Extension(
+    "hutoken_tpu._native.libhutoken_host",
+    sources=["native/src/hutoken_host.cpp"],
+    language="c++",
+    extra_compile_args=[
+        "-O3", "-std=c++17", "-funroll-loops", f"-march={_march}", "-fPIC",
+    ],
+    extra_link_args=["-pthread"],
+    optional=True,  # graceful pure-Python fallback
+)
+
+setup(
+    ext_modules=[native_ext],
+    cmdclass={"build_ext": NativeLibBuild},
+)

@@ -28,6 +28,7 @@ def main() -> None:
     parser.add_argument("--lanes", type=int, default=32)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--json", default=None, help="write results JSON")
     args = parser.parse_args()
 
     if args.cpu:
@@ -78,6 +79,33 @@ def main() -> None:
             f"(scaling efficiency {eff:.0%})"
         )
         n *= 2
+
+    if args.json:
+        import json
+
+        top = max(results)
+        payload = {
+            "metric": "sharded merge weak scaling (words/s by mesh size)",
+            "backend": jax.default_backend(),
+            "devices_virtual_shared_cores": bool(args.cpu),
+            "rows_per_device": args.rows,
+            "rates_words_per_s": {str(k): round(v) for k, v in results.items()},
+            "weak_scaling_efficiency_at_top": round(
+                results[top] / (results[1] * top), 4
+            ),
+            "note": (
+                "virtual CPU devices share the host's vCPUs: wall-clock "
+                "efficiency there measures the VM, not the program; the "
+                "program-level weak-scaling property (flat per-device "
+                "compiled cost, exact outputs at every mesh size) is "
+                "asserted in tests/test_scaling.py"
+                if args.cpu
+                else "real devices"
+            ),
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

@@ -261,10 +261,19 @@ class TpuTokenizer:
                     self.ctx.vocab.id2str,
                 )
                 self._pallas_interpret = pallas_env == "interpret"
+                if (
+                    self._pallas_tab is not None
+                    and self._pallas_tab.partial
+                    and self.table_arrays[-1] != MODE_PACKED
+                ):
+                    # partial tables need the full packed table for the
+                    # final-state divergence check
+                    self._pallas_tab = None
                 if self._pallas_tab is not None:
                     log_debug(
-                        "pallas merge kernel: depth=%d multi_ok=%s",
+                        "pallas merge kernel: depth=%d multi_ok=%s partial=%s",
                         self._pallas_tab.depth, self._pallas_tab.multi_ok,
+                        self._pallas_tab.partial,
                     )
         if self.tables.byte_seed_ids is not None:
             self._byte_seed_dev = _table(self.tables.byte_seed_ids)
@@ -552,7 +561,7 @@ class TpuTokenizer:
             )
             self._stage_launch(
                 handle, [key for key, _ in items[lo:hi]], rows,
-                int(cl.sum()), pending,
+                int(cl.sum()), pending, redo_src=(raw, lens_pad),
             )
             lo = hi
 
@@ -577,10 +586,14 @@ class TpuTokenizer:
             )
 
     def _stage_launch(self, handle, keys, rows: int, tok_bound: int,
-                      pending: list) -> None:
+                      pending: list, redo_src=None) -> None:
         """Slice a launched block to its packed prefix and start its
         device->host transfer immediately, so by extraction time the
-        bytes are already on the host (or in flight)."""
+        bytes are already on the host (or in flight).
+
+        ``redo_src`` = (raw, lens) numpy views for partial-table
+        launches, kept so flagged words (count bit 0x8000, see
+        ops/pallas_merge.py) can be re-encoded on the exact host path."""
         # tok_bound = real seed elements in the launch (= word bytes on
         # the byte path): the honest "how much work reached the device"
         # counter behind bench.py's device_byte_share
@@ -592,7 +605,7 @@ class TpuTokenizer:
             pass
         if sliced is not handle:
             self._retire(handle)  # free the full block off the hot path
-        pending.append((sliced, keys, rows, tok_bound))
+        pending.append((sliced, keys, rows, tok_bound, redo_src))
 
     def _slice_packed(self, handle, rows: int, tok_bound: int):
         """Prefix view of a packed output covering counts + all real
@@ -621,7 +634,7 @@ class TpuTokenizer:
             outs = [results[i] for i in range(len(pending))]
         else:
             # entries are pre-sliced with transfers already in flight
-            outs = self._jax.device_get([h for h, _, _, _ in pending])
+            outs = self._jax.device_get([h for h, *_rest in pending])
         if _timing:
             print(
                 f"[ht-timing]   device_get wait: {_t.perf_counter()-_tw:.3f}s"
@@ -629,9 +642,14 @@ class TpuTokenizer:
             )
             _tw = _t.perf_counter()
         wcache = self._word_cache
-        for (handle, keys, rows, tok_bound), sliced in zip(pending, outs):
+        for (handle, keys, rows, tok_bound, redo_src), sliced in zip(
+            pending, outs
+        ):
             k = len(keys)
-            counts = sliced[:k].astype(np.int64)
+            counts_raw = sliced[:k].astype(np.int64)
+            # bit 0x8000 flags partial-table divergence (the token
+            # stream is still laid out by the REAL counts)
+            counts = counts_raw & 0x7FFF
             total = int(counts.sum())
             toks = sliced[rows : rows + total]
             base = self._pool_append_flat(toks.astype(np.int32))
@@ -639,6 +657,18 @@ class TpuTokenizer:
             key_arr = np.asarray(keys, dtype=np.int64)
             res_start[key_arr] = starts
             res_len[key_arr] = counts
+            flagged = np.nonzero(counts_raw & 0x8000)[0]
+            if flagged.size:
+                raw_src, lens_src = redo_src
+                for r in flagged:
+                    wb = bytes(raw_src[r, : lens_src[r]])
+                    sp = self._pool_append(
+                        np.asarray(
+                            self._encode_word_host(wb, None), dtype=np.int32
+                        )
+                    )
+                    res_start[keys[r]], res_len[keys[r]] = sp
+                    starts[r], counts[r] = sp
             if word_for_key is not None:
                 starts_l = starts.tolist()
                 counts_l = counts.tolist()
@@ -1045,7 +1075,8 @@ class TpuTokenizer:
                 block, lens_pad, int(lens[lo:hi].max(initial=1))
             )
             self._stage_launch(
-                handle, gids[lo:hi], r, int(lens[lo:hi].sum()), pending
+                handle, gids[lo:hi], r, int(lens[lo:hi].sum()), pending,
+                redo_src=(block, lens_pad),
             )
             lo = hi
 
@@ -1257,6 +1288,10 @@ class TpuTokenizer:
                     self._u16_out,
                     group_w=gw,
                     interpret=self._pallas_interpret,
+                    full_table=(
+                        self.table_arrays if self._pallas_tab.partial
+                        else None
+                    ),
                 )
         from .ops.merge import merge_words_from_bytes_packed
 

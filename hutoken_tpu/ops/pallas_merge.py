@@ -75,7 +75,8 @@ ROW_TILE = 256  # rows per grid step
 class PallasTable:
     """Bucketed pair table + byte LUT, kernel-ready (see module doc)."""
 
-    def __init__(self, tk, tv, tv2, lut, depth, rank_in_val, multi_ok):
+    def __init__(self, tk, tv, tv2, lut, depth, rank_in_val, multi_ok,
+                 partial=False):
         self.tk = tk  # np.int32 [8, depth*128] (row-replicated pages)
         self.tv = tv
         self.tv2 = tv2  # np.int32 [8, depth*128] (merges path) or [8,128]
@@ -83,6 +84,9 @@ class PallasTable:
         self.depth = int(depth)
         self.rank_in_val = bool(rank_in_val)
         self.multi_ok = bool(multi_ok)
+        # partial tables hold only a rank prefix of the rules; results
+        # need the final-state full-table check (see build_pallas_table)
+        self.partial = bool(partial)
 
 
 def build_minsuper(
@@ -129,15 +133,29 @@ def build_minsuper(
     return ms
 
 
-MAX_DEPTH = 40  # bucket-depth budget (~up to ≈3000 pairs)
+MAX_DEPTH = 40  # bucket-depth budget (~up to ≈3000 pairs exactly)
 
 
 def build_pallas_table(pairs, byte_seed_ids, id2str=None) -> "PallasTable | None":
     """Build the bucketed kernel table from the raw pair dict.
 
-    Returns None when any bucket exceeds the depth budget or ids/ranks
-    overflow 16 bits.  With ``id2str`` the multi-merge guard is built
-    too (safe to omit: single-merge rounds result).
+    When the full rule set does not fit the depth budget, the table is
+    built PARTIAL: the longest rank-contiguous prefix of rules (rank
+    order) that fits.  Partial tables are exact-with-detection: let
+    R_cut be the first excluded rank.  Greedy with the partial table
+    applies the same merges as true greedy while the true minimum rank
+    is < R_cut (identical states by induction); at the first state
+    whose true minimum rank is >= R_cut, the partial table sees no
+    applicable pair at all (its rules are exactly those < R_cut) and
+    stops in that state — where the skipped rule's pair is still
+    adjacent.  So a word's partial result is the true result IFF no
+    adjacent pair of the final state has a rule in the FULL table; the
+    caller probes that (one batched lookup) and re-encodes flagged
+    words on the exact host path.
+
+    Returns None when ids/ranks overflow 16 bits or spellings are
+    unavailable.  With ``id2str`` the multi-merge guard is built too
+    (safe to omit: single-merge rounds result).
     """
     from ..tables import _mix_hash
 
@@ -153,6 +171,7 @@ def build_pallas_table(pairs, byte_seed_ids, id2str=None) -> "PallasTable | None
     if id2str is not None:
         ms = build_minsuper(pairs, id2str)
     multi_ok = ms is not None
+    partial = False
     if pairs:
         keys = np.array(list(pairs.keys()), dtype=np.int64)
         vals = np.array(list(pairs.values()), dtype=np.int64)
@@ -164,10 +183,27 @@ def build_pallas_table(pairs, byte_seed_ids, id2str=None) -> "PallasTable | None
         ).astype(np.int64)
         counts = np.bincount(lanes, minlength=128)
         depth = int(counts.max())
+        if depth > MAX_DEPTH:
+            # partial build: rank-ascending prefix until a bucket fills
+            order = np.argsort(vals[:, 0], kind="stable")
+            fill_cnt = np.zeros(128, dtype=np.int64)
+            take = []
+            for i in order:
+                ln = lanes[i]
+                if fill_cnt[ln] >= MAX_DEPTH:
+                    break  # first overflow ends the rank prefix
+                fill_cnt[ln] += 1
+                take.append(i)
+            take = np.array(take, dtype=np.int64)
+            if take.shape[0] < 256:
+                return None  # not worth a kernel launch
+            keys = keys[take]
+            vals = vals[take]
+            lanes = lanes[take]
+            depth = int(np.bincount(lanes, minlength=128).max())
+            partial = True
     else:
         depth = 1
-    if depth > MAX_DEPTH:
-        return None
     tk1 = np.full(depth * 128, -1, dtype=np.int32)
     tv1 = np.zeros(depth * 128, dtype=np.int32)
     tw1 = np.zeros(depth * 128, dtype=np.int32)
@@ -208,7 +244,9 @@ def build_pallas_table(pairs, byte_seed_ids, id2str=None) -> "PallasTable | None
         tv2 = np.zeros((8, 128), dtype=np.int32)  # unused dummy
     else:
         tv2 = np.tile(tw1[None, :], (8, 1))
-    return PallasTable(tk, tv, tv2, lut, depth, rank_in_val, multi_ok)
+    return PallasTable(
+        tk, tv, tv2, lut, depth, rank_in_val, multi_ok, partial=partial
+    )
 
 
 def _kernel(tk_ref, tv_ref, tv2_ref, lut_ref, raw_ref, len_ref,
@@ -449,9 +487,65 @@ def _merge_bytes_pallas_jit(
     return _compact_output(out, jnp.uint16 if u16_out else jnp.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "depth", "group_w", "rank_in_val", "multi_ok", "u16_out", "interpret",
+        "full_probe_len", "full_cap_mask",
+    ),
+)
+def _merge_bytes_pallas_partial_jit(
+    tk, tv, tv2, lut, full_pkey, full_pval, raw, lens,
+    depth, group_w, rank_in_val, multi_ok, u16_out, interpret,
+    full_probe_len, full_cap_mask,
+):
+    """Partial-table variant: same as _merge_bytes_pallas_jit, plus the
+    final-state check against the FULL packed pair table.  A word whose
+    final adjacent pairs include any full-table rule diverged from true
+    greedy exactly at its final state (see build_pallas_table) — its
+    count gets the 0x8000 flag bit and the caller re-encodes it host-
+    side."""
+    import jax.numpy as jnp
+
+    from .merge import (
+        INF_RANK, MODE_PACKED, _compact_output, _probe_pairs_packed,
+    )
+
+    W, L = raw.shape
+    wpr = 128 // group_w
+    R = W // wpr
+    rawg = raw.reshape(R, wpr, L)
+    if L < group_w:
+        rawg = jnp.pad(rawg, ((0, 0), (0, 0), (0, group_w - L)))
+    raw128 = rawg.reshape(R, 128)
+    leng = jnp.repeat(
+        lens.reshape(R, wpr).astype(jnp.int32), group_w, axis=1
+    )
+    out, _cnt = _pallas_merge_call(
+        tk, tv, tv2, lut, raw128, leng,
+        depth=depth, group_w=group_w, rank_in_val=rank_in_val,
+        multi_ok=multi_ok, interpret=interpret, debug_rounds=None,
+    )
+    out = out.reshape(W, group_w)
+    a = out[:, :-1]
+    b = out[:, 1:]
+    zero = jnp.zeros(1, jnp.int32)
+    full_table = (
+        full_pkey, full_pval, zero, zero, full_probe_len, full_cap_mask,
+        MODE_PACKED,
+    )
+    rank, _m = _probe_pairs_packed(full_table, a, b)
+    flagged = jnp.any(rank < INF_RANK, axis=1)  # [W]
+    packed = _compact_output(out, jnp.uint16 if u16_out else jnp.int32)
+    flag_bits = jnp.where(flagged, 0x8000, 0).astype(packed.dtype)
+    counts_flagged = packed[:W] | flag_bits
+    return jnp.concatenate([counts_flagged, packed[W:]])
+
+
 def merge_words_from_bytes_pallas(
     table: PallasTable, raw, lens, u16_out: bool,
     group_w: int = 16, interpret: bool = False, debug_rounds=None,
+    full_table=None,
 ):
     """Byte-mode Pallas fast path for words of <= group_w bytes.
 
@@ -459,9 +553,24 @@ def merge_words_from_bytes_pallas(
     (128//group_w)*ROW_TILE), ``lens`` int32 [W].  Returns the same
     packed (counts + compact tokens) device layout as
     ops.merge.merge_words_from_bytes_packed.
+
+    For a PARTIAL table, ``full_table`` must be the engine's
+    MODE_PACKED table tuple; flagged words carry the 0x8000 bit in
+    their count entry and must be re-encoded by the caller.
     """
     import jax.numpy as jnp
 
+    if table.partial:
+        (pkey, pval, _z0, _z1, probe_len, cap_mask, _mode) = full_table
+        return _merge_bytes_pallas_partial_jit(
+            jnp.asarray(table.tk), jnp.asarray(table.tv),
+            jnp.asarray(table.tv2), jnp.asarray(table.lut),
+            pkey, pval, raw, lens,
+            depth=table.depth, group_w=group_w,
+            rank_in_val=table.rank_in_val,
+            multi_ok=table.multi_ok, u16_out=u16_out, interpret=interpret,
+            full_probe_len=probe_len, full_cap_mask=cap_mask,
+        )
     return _merge_bytes_pallas_jit(
         jnp.asarray(table.tk), jnp.asarray(table.tv),
         jnp.asarray(table.tv2), jnp.asarray(table.lut),

@@ -26,6 +26,7 @@ def main() -> None:
     parser.add_argument("--mb", type=float, default=4.0)
     parser.add_argument("--devices", type=int, default=None)
     parser.add_argument("--cpu", action="store_true", help="force CPU mesh")
+    parser.add_argument("--json", default=None, help="write results JSON")
     args = parser.parse_args()
 
     if args.cpu:
@@ -57,6 +58,24 @@ def main() -> None:
         f"trained {n_merges} merges in {dt:.1f}s "
         f"({n_merges/dt:.1f} merges/s, {len(corpus)/1e6*n_merges/dt:.1f} MB*merges/s)"
     )
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "metric": "distributed BBPE training throughput",
+                    "backend": jax.default_backend(),
+                    "devices": n_dev,
+                    "corpus_mb": round(len(corpus) / 1e6, 2),
+                    "merges": n_merges,
+                    "wall_s": round(dt, 1),
+                    "merges_per_s": round(n_merges / dt, 2),
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

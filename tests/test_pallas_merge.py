@@ -125,6 +125,41 @@ def test_engine_end_to_end_interpret(byte_ctx, monkeypatch):
         assert g == oracle.encode(byte_ctx, d)
 
 
+@pytest.mark.parametrize("with_merges", [False, True])
+def test_partial_table_engine_exact(monkeypatch, with_merges):
+    """GPT-2-scale tables build PARTIAL pallas tables (a rank prefix of
+    the rules); flagged words re-encode host-side, so the engine stays
+    byte-exact (divergence-detection proof: ops/pallas_merge.py
+    build_pallas_table docstring)."""
+    monkeypatch.setenv("HUTOKEN_TPU_PALLAS", "interpret")
+    from hutoken_tpu.engine import TpuTokenizer
+
+    v, s = ft.write_big_vocab_fixture()
+    if with_merges:
+        m = ft.write_big_merges_fixture()
+        ctx = TokenizerContext.load(
+            v, s, is_byte_encoder=True, merges_file_path=m
+        )
+    else:
+        ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    tok = TpuTokenizer(ctx)
+    assert tok._pallas_tab is not None
+    import numpy as np
+
+    rng = np.random.default_rng(31 + with_merges)
+    letters = list("abcdefghijklmnopqrstuvwxyzáéű0123456789")
+    docs = [
+        " ".join(
+            "".join(rng.choice(letters, rng.integers(1, 15)))
+            for _ in range(rng.integers(1, 25))
+        )
+        for _ in range(64)
+    ]
+    got = tok.encode_batch(docs)
+    for d, g in zip(docs, got):
+        assert g == oracle.encode(ctx, d)
+
+
 def _on_accelerator():
     import jax
 

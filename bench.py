@@ -239,10 +239,21 @@ def run_child(config: str, mb: float, check: bool) -> None:
         def _dec_lists():
             return engine.decode_batch(token_lists)
 
+        def _dec_resident():
+            import jax
+
+            flat_dev = flat[: offs[dev_docs]]
+            blob, _boffs = engine.decode_arrays_device(
+                flat_dev, offs[: dev_docs + 1]
+            )
+            jax.block_until_ready(blob)
+            return None
+
         for label, fn, nbytes in (
             ("arrays API", _dec_arrays, total_bytes),
             ("list API", _dec_lists, total_bytes),
             ("device kernel", _dec_device, dev_bytes),
+            ("device-resident serving blob", _dec_resident, dev_bytes),
         ):
             try:
                 fn()  # warm
@@ -251,7 +262,7 @@ def run_child(config: str, mb: float, check: bool) -> None:
                     t0 = time.perf_counter()
                     out = fn()
                     best = min(best, time.perf_counter() - t0)
-                if check and "arrays" not in label:
+                if check and "arrays" not in label and "resident" not in label:
                     assert out[0] == docs[0]
                     if len(out) == len(docs):  # full-corpus decoders
                         assert out[-1] == docs[-1]

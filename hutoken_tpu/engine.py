@@ -58,6 +58,10 @@ MAX_DEVICE_LEN = BUCKETS[-1]
 # blocks exit the merge fixed point early.  Launches are asynchronous
 # and synced once, so per-dispatch latency (~25 ms tunneled) amortizes.
 ROW_BLOCKS = {32: 4096, 128: 1024}
+# with the fused Pallas kernel active, launches amortize the tunneled
+# dispatch floor much better at larger blocks (the kernel streams grid
+# tiles, so block size costs no VMEM)
+ROW_BLOCKS_PALLAS = {32: 16384, 128: 1024}
 # documents are processed in byte-bounded groups; the producer thread
 # splits group g+1 while the main thread resolves/launches group g and
 # the drainer downloads finished blocks — smaller groups = finer overlap
@@ -295,6 +299,9 @@ class TpuTokenizer:
         # the device — bench.py reports device_byte_share from this
         self.stat_device_bytes = 0
         self._reaper = None
+        self._row_blocks = (
+            ROW_BLOCKS_PALLAS if self._pallas_tab is not None else ROW_BLOCKS
+        )
         self._build_decode_fast_path()
 
     def _retire(self, objs) -> None:
@@ -536,7 +543,7 @@ class TpuTokenizer:
         if not items:
             return
         items.sort(key=lambda kv: len(kv[1]))
-        rows = ROW_BLOCKS[bucket]
+        rows = self._row_blocks[bucket]
         lens = np.array([len(wb) for _, wb in items], dtype=np.int32)
         blob = b"".join(wb for _, wb in items)
         flat = np.frombuffer(blob, dtype=np.uint8)
@@ -570,7 +577,7 @@ class TpuTokenizer:
         if not items:
             return
         items.sort(key=lambda t: t[1].shape[0])
-        rows = ROW_BLOCKS[bucket]
+        rows = self._row_blocks[bucket]
         lo = 0
         while lo < len(items):
             chunk = items[lo : lo + rows]
@@ -762,7 +769,7 @@ class TpuTokenizer:
 
         def flush(force: bool) -> None:
             for b in BUCKETS:
-                rows = ROW_BLOCKS[b]
+                rows = self._row_blocks[b]
                 parts = carry_byte[b]
                 n_tot = sum(len(g) for g, _, _ in parts)
                 if parts and (n_tot >= rows or (force and n_tot)):
@@ -1056,7 +1063,7 @@ class TpuTokenizer:
         (rows/4, rows/16) that still fits — the stream tail's compute
         and transfer sit exposed at the end of the batch, so a mostly
         padded full-size block there costs real wall time."""
-        rows = ROW_BLOCKS[bucket]
+        rows = self._row_blocks[bucket]
         n = len(gids)
         lo = 0
         while lo < n:
@@ -1201,7 +1208,7 @@ class TpuTokenizer:
         """Compile the primary block shape (the tail bucket compiles
         lazily only when >32-lane words occur)."""
         b = BUCKETS[0]
-        rows = ROW_BLOCKS[b]
+        rows = self._row_blocks[b]
         if self._byte_seed_dev is not None:
             raw = np.zeros((rows, b), dtype=np.uint8)
             lens = np.zeros(rows, dtype=np.int32)
@@ -1388,21 +1395,56 @@ class TpuTokenizer:
             jnp.asarray(self._pat1),
             jnp.asarray(self._pat2),
         )
-        # chars per token = decoded bytes per token (one output byte per
-        # char start) — known host-side, so only the packed byte stream
-        # ever downloads
-        rows = t.token_bytes
+        # precompute each token's DECODED bytes once (the reverse remap
+        # is per-char and chars never straddle tokens, so a token's
+        # decoded spelling is context-free — reference semantics:
+        # src/pretokenizer.c:197-296 applied per id).  One output byte
+        # per char start (byte mode emits '?' for codepoints >= 256,
+        # pretokenizer.c:244-254).
+        rows = t.token_bytes.astype(np.int32)
         col = np.arange(rows.shape[1], dtype=np.int32)[None, :]
         valid = col < t.token_lens[:, None]
-        self._dec_counts = (
-            ((rows & 0xC0) != 0x80) & valid
-        ).sum(axis=1).astype(np.int64)
+        is_start = ((rows & 0xC0) != 0x80) & valid
+        b1 = np.concatenate(
+            [rows[:, 1:], np.zeros((rows.shape[0], 1), np.int32)], axis=1
+        )
+        one = rows < 0x80
+        two = (rows & 0xE0) == 0xC0
+        p1 = self._pat1[np.clip(rows, 0, 255)]
+        key2 = ((rows << 8) | b1) & 0xFFFF
+        p2 = np.where(two, self._pat2[key2], -1)
+        cp2 = ((rows & 0x1F) << 6) | (b1 & 0x3F)
+        outb = np.where(
+            one,
+            np.where(p1 >= 0, p1, rows),
+            np.where(p2 >= 0, p2, np.where(two & (cp2 < 256), cp2, ord("?"))),
+        ).astype(np.uint8)
+        self._dec_counts = is_start.sum(axis=1).astype(np.int64)
+        Ld = max(int(self._dec_counts.max(initial=1)), 1)
+        dec = np.zeros((rows.shape[0], Ld), dtype=np.uint8)
+        pos = np.cumsum(is_start, axis=1) - 1
+        rs, cs = np.nonzero(is_start)
+        dec[rs, pos[rs, cs]] = outb[rs, cs]
+        self._dec_decoded_np = dec  # host fill for small buckets
+        self._dec_decoded = jnp.asarray(dec)
+
+    # bucket padding quanta: each (decoded-len, quantum) pair is one
+    # compiled shape; three sizes bound both the compile set and the
+    # padding waste
+    DEC_QUANTA = (1 << 14, 1 << 17, 1 << 20)
 
     def decode_batch_device(self, token_lists: list[list[int]]) -> list[str]:
-        """Device decode (byte-encoder fast configs, no prefix): id
-        blocks up, packed reverse-remapped byte stream down; launches
-        are asynchronous with prefix-sliced downloads like the encode
-        path.  Exactness guarded by tests vs the oracle decode."""
+        """Device decode (byte-encoder fast configs, no prefix).
+
+        Tokens are bucketed by EXACT decoded byte length, so every
+        bucket's device output is dense by construction: a row gather
+        of k bytes per token and a reshape — no device scatter, no
+        compaction, and the download carries exactly the decoded bytes
+        (ops/decode.py decode_rows_fixed_len).  Launches across buckets
+        are asynchronous; the host interleaves the bucket streams back
+        into token order with one vectorized byte scatter (it knows
+        every token's decoded offset from the per-id length table).
+        Exactness guarded by tests vs the oracle decode."""
         if not (self._decode_fast and self.ctx.prefix is None):
             return self.decode_batch(token_lists)
         V = self.tables.vocab_size
@@ -1420,47 +1462,175 @@ class TpuTokenizer:
                 "Element must be non-negative and less than vocab size."
             )
         self._ensure_decode_device()
-        from .ops.decode import decode_ids_block
-        from .ops.merge import slice_prefix
+        from .ops.decode import decode_rows_fixed_len
 
         flat32 = flat.astype(np.int32)
-        byte_counts = self._dec_counts[flat]
-        pending = []
-        lo = 0
-        while lo < total:
-            hi = min(lo + self.DEC_BLOCK, total)
-            blk = flat32[lo:hi]
-            if hi - lo < self.DEC_BLOCK:
-                blk = np.concatenate(
-                    [blk, np.zeros(self.DEC_BLOCK - (hi - lo), np.int32)]
-                )
-            out = decode_ids_block(self._dec_tables, self._jnp.asarray(blk))
-            nbytes = int(byte_counts[lo:hi].sum())
-            GRAN = 1 << 15
-            need = min(-(-nbytes // GRAN) * GRAN, int(out.shape[0]))
-            sliced = (
-                slice_prefix(out, need) if need < out.shape[0] else out
-            )
-            try:
-                sliced.copy_to_host_async()
-            except Exception:  # pragma: no cover
-                pass
-            pending.append((sliced, nbytes))
-            lo = hi
-        outs = self._jax.device_get([h for h, _ in pending])
-        self._retire(pending)
-        parts = [np.asarray(o)[:n] for o, n in zip(outs, [n for _, n in pending])]
-        blob = b"".join(p.tobytes() for p in parts)
+        byte_lens = self._dec_counts[flat]
+        offs = np.concatenate(([0], np.cumsum(byte_lens)))
+        out = np.empty(int(offs[-1]), dtype=np.uint8)
 
-        # per-doc byte boundaries from host-known char counts
-        cum = np.concatenate(([0], np.cumsum(byte_counts)))
+        ar = np.arange(max(int(byte_lens.max(initial=1)), 1), dtype=np.int64)
+        launches = []
+        for k in np.unique(byte_lens):
+            k = int(k)
+            if k == 0:
+                continue
+            sel = np.nonzero(byte_lens == k)[0]
+            ids_k = flat32[sel]
+            if ids_k.shape[0] < self.DEC_QUANTA[0] // 2:
+                # small bucket: a padded launch + its transfer would be
+                # ~all padding — fill from the host copy of the decoded
+                # table instead (vectorized, exact same bytes)
+                bytes_k = self._dec_decoded_np[ids_k, :k]
+                dest = (offs[sel][:, None] + ar[None, :k]).reshape(-1)
+                out[dest] = bytes_k.reshape(-1)
+                continue
+            lo = 0
+            while lo < ids_k.shape[0]:
+                n = ids_k.shape[0] - lo
+                q = self.DEC_QUANTA[-1]
+                for qq in self.DEC_QUANTA:
+                    if n <= qq:
+                        q = qq
+                        break
+                take = min(n, q)
+                blk = ids_k[lo : lo + take]
+                if take < q:
+                    blk = np.concatenate(
+                        [blk, np.zeros(q - take, np.int32)]
+                    )
+                h = decode_rows_fixed_len(
+                    self._dec_decoded, self._jnp.asarray(blk), k
+                )
+                # download only the real prefix (coarse-grained slices
+                # keep the executable set small)
+                from .ops.merge import slice_prefix
+
+                GRAN = 1 << 15
+                need = min(
+                    -(-(take * k) // GRAN) * GRAN, int(h.shape[0])
+                )
+                if need < h.shape[0]:
+                    full = h
+                    h = slice_prefix(full, need)
+                    self._retire(full)
+                try:
+                    h.copy_to_host_async()
+                except Exception:  # pragma: no cover
+                    pass
+                launches.append((h, k, sel[lo : lo + take], take))
+                lo += take
+        results = self._jax.device_get([h for h, *_ in launches])
+        self._retire([h for h, *_ in launches])
+        for (h, k, sel_idx, take), arr in zip(launches, results):
+            bytes_k = np.asarray(arr)[: take * k]
+            dest = (offs[sel_idx][:, None] + ar[None, :k]).reshape(-1)
+            out[dest] = bytes_k
+        blob = out.tobytes()
+
+        # per-doc byte boundaries from host-known decoded lengths
         tok_ends = np.cumsum(counts)
-        ends = cum[tok_ends]
-        starts = cum[tok_ends - counts]
+        ends = offs[tok_ends]
+        starts = offs[tok_ends - counts]
         return [
             blob[starts[i] : ends[i]].decode("utf-8")
             for i in range(len(token_lists))
         ]
+
+    def decode_arrays_device(self, flat, doc_offs):
+        """Full-device decode for serving pipelines: flat token ids +
+        per-doc offsets -> (DEVICE uint8 blob, per-doc byte offsets).
+
+        The decoded text never crosses to the host — the blob stays
+        resident for downstream device consumers (the tunnel's d2h path
+        otherwise caps any decode that materializes host strings).
+        Same bucketed-by-decoded-length structure as
+        decode_batch_device, with on-device scatters building the blob.
+        """
+        if not (self._decode_fast and self.ctx.prefix is None):
+            raise ValueError(
+                "decode_arrays_device requires the byte-encoder fast "
+                "configuration (no prefix)"
+            )
+        V = self.tables.vocab_size
+        flat = np.asarray(flat, dtype=np.int64)
+        if flat.size and (flat.min() < 0 or flat.max() >= V):
+            raise ValueError(
+                "Element must be non-negative and less than vocab size."
+            )
+        self._ensure_decode_device()
+        from .ops.decode import decode_scatter_bucket, decode_scatter_masked
+
+        jnp = self._jnp
+        byte_lens = self._dec_counts[flat]
+        offs = np.concatenate(([0], np.cumsum(byte_lens)))
+        total = int(offs[-1])
+        # pow2-padded blob size bounds the compiled-shape set
+        size = 1 << max(total - 1, 1).bit_length()
+        out = jnp.zeros((size,), jnp.uint8)
+        flat32 = flat.astype(np.int32)
+        offs32 = offs[:-1].astype(np.int32)
+        DOMINANT = 1 << 16  # exact-k shapes only for lengths this hot
+        rest_sel = []
+        quanta = self.DEC_QUANTA[1:]  # two sizes bound the shape set
+
+        def chunks(n):
+            lo = 0
+            while lo < n:
+                left = n - lo
+                q = quanta[-1]
+                for qq in quanta:
+                    if left <= qq:
+                        q = qq
+                        break
+                yield lo, min(left, q), q
+                lo += min(left, q)
+
+        for k in np.unique(byte_lens):
+            k = int(k)
+            if k == 0:
+                continue
+            sel = np.nonzero(byte_lens == k)[0]
+            if sel.shape[0] < DOMINANT:
+                rest_sel.append(sel)
+                continue
+            ids_k = flat32[sel]
+            dest_k = offs32[sel]
+            for lo, take, q in chunks(ids_k.shape[0]):
+                blk = ids_k[lo : lo + take]
+                dst = dest_k[lo : lo + take]
+                if take < q:
+                    pad = q - take
+                    blk = np.concatenate([blk, np.zeros(pad, np.int32)])
+                    dst = np.concatenate(
+                        [dst, np.full(pad, size, np.int32)]
+                    )  # out-of-range dests drop
+                out = decode_scatter_bucket(
+                    out, self._dec_decoded, jnp.asarray(blk),
+                    jnp.asarray(dst), k
+                )
+        if rest_sel:
+            sel = np.concatenate(rest_sel)
+            ids_r = flat32[sel]
+            dest_r = offs32[sel]
+            lens_r = byte_lens[sel].astype(np.int32)
+            for lo, take, q in chunks(ids_r.shape[0]):
+                blk = ids_r[lo : lo + take]
+                dst = dest_r[lo : lo + take]
+                ln = lens_r[lo : lo + take]
+                if take < q:
+                    pad = q - take
+                    blk = np.concatenate([blk, np.zeros(pad, np.int32)])
+                    dst = np.concatenate(
+                        [dst, np.full(pad, size, np.int32)]
+                    )
+                    ln = np.concatenate([ln, np.zeros(pad, np.int32)])
+                out = decode_scatter_masked(
+                    out, self._dec_decoded, jnp.asarray(blk),
+                    jnp.asarray(dst), jnp.asarray(ln)
+                )
+        doc_byte_offs = offs[np.asarray(doc_offs, dtype=np.int64)]
+        return out, doc_byte_offs
 
     def _decode_batch_flat(self, token_lists: list[list[int]]) -> list[str]:
         """One flat vectorized pass over the whole batch (no-prefix,

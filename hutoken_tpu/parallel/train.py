@@ -137,6 +137,48 @@ def _make_shard_ops(K: int, n_dev: int):
         best_key = jnp.argmin(cand).astype(jnp.int32)
         return best_key, m.astype(jnp.int32)
 
+    def count_pick_sorted(ids):
+        """Single-shard fused count+pick without the K^2 tables.
+
+        Sorting the (pair key, position) stream and reducing segments
+        with associative scans is ~3x cheaper on TPU than two K^2
+        scatters + argmax (measured 11.6 vs 33.7 ms at 2M / K=1257).
+        The pick rule is byte-identical to pick_best: max count, then
+        minimal LAST-occurrence position (the stable sort keeps
+        positions ascending inside a segment, so the segment-end
+        position IS the pair's last occurrence), then lowest key.
+        """
+        a, b, pos, _lastvalid = _pair_operands(ids)
+        valid = (a >= 0) & (b >= 0)
+        big = K * K
+        dt = jnp.int64 if big >= 2**31 else jnp.int32
+        keys = jnp.where(
+            valid, a.astype(dt) * K + b.astype(dt), jnp.array(big, dt)
+        )
+        sk, sp = jax.lax.sort((keys, pos), num_keys=1)
+        n = ids.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        diff = sk[1:] != sk[:-1]
+        segstart = jnp.concatenate([jnp.ones((1,), bool), diff])
+        startpos = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(segstart, idx, -1)
+        )
+        length = idx - startpos + 1
+        segend = jnp.concatenate([diff, jnp.ones((1,), bool)])
+        realend = segend & (sk < jnp.array(big, dt))
+        m = jnp.max(jnp.where(realend, length, 0))
+        inf = jnp.int32(0x7FFFFFFF)
+        cand = jnp.where(realend & (length == m), sp, inf)
+        # ties between different keys: smaller last-occurrence wins
+        # (positions are distinct, so cand has a unique minimum among
+        # real candidates)
+        j = jnp.argmin(cand)
+        # single-shard results are trivially replicated; the pmax marks
+        # them as such for shard_map's out_specs check (free at D=1)
+        key = jax.lax.pmax(sk[j].astype(jnp.int32), "data")
+        cnt = jax.lax.pmax(m.astype(jnp.int32), "data")
+        return key, cnt
+
     def apply_merge(ids, id1, id2, new_id):
         a, b, pos, lastvalid = _pair_operands(ids)
         n = ids.shape[0]
@@ -170,7 +212,7 @@ def _make_shard_ops(K: int, n_dev: int):
         new = jnp.where(consumed, -1, new)
         return _compact(new)
 
-    return count_shard, pick_best, apply_merge
+    return count_shard, pick_best, apply_merge, count_pick_sorted
 
 
 def make_train_step(K: int, mesh, min_merge_count: int = 2):
@@ -186,9 +228,13 @@ def make_train_step(K: int, mesh, min_merge_count: int = 2):
     from jax import shard_map
 
     n_dev = mesh.devices.size
-    count_shard, pick_best, apply_merge = _make_shard_ops(K, n_dev)
+    count_shard, pick_best, apply_merge, count_pick_sorted = (
+        _make_shard_ops(K, n_dev)
+    )
 
     def step(ids):
+        if n_dev == 1:
+            return count_pick_sorted(ids)
         hist, occ = count_shard(ids)
         hist = jax.lax.psum(hist, "data")
         occ = jax.lax.pmax(occ, "data")
@@ -266,15 +312,22 @@ def make_scan_train_step(K: int, mesh, min_merge_count: int, scan_steps: int):
     _, _, fused_single = make_train_step(K, mesh, min_merge_count)
 
     n_dev = mesh.devices.size
-    count_shard, pick_best, apply_merge = _make_shard_ops(K, n_dev)
+    count_shard, pick_best, apply_merge, count_pick_sorted = (
+        _make_shard_ops(K, n_dev)
+    )
 
     def chunk(ids, start_new_id):
         def body(carry, i):
             ids = carry
-            hist, occ = count_shard(ids)
-            hist = jax.lax.psum(hist, "data")
-            occ = jax.lax.pmax(occ, "data")
-            key, cnt = pick_best(hist, occ)
+            if n_dev == 1:
+                # sort-based fused count+pick: ~3x cheaper than the
+                # K^2 scatter histograms (identical pick rule)
+                key, cnt = count_pick_sorted(ids)
+            else:
+                hist, occ = count_shard(ids)
+                hist = jax.lax.psum(hist, "data")
+                occ = jax.lax.pmax(occ, "data")
+                key, cnt = pick_best(hist, occ)
             id1 = key // K
             id2 = key % K
             merged = apply_merge(ids, id1, id2, start_new_id[0] + i)

@@ -223,3 +223,26 @@ def test_distributed_matches_host_trainer_exactly():
     want = bbpe_train_core(corpus, 280, verbose=False)
     got = distributed_bbpe_train(corpus, 280, mesh=mesh, verbose=False)
     assert got == want
+
+
+def test_distributed_single_device_sorted_pick_matches_host():
+    """The n_dev==1 sort-based count+pick (parallel/train.py
+    count_pick_sorted) must be byte-identical to the host trainer —
+    same corpora as the 8-device test but on a 1-wide mesh."""
+    import random
+
+    from hutoken_tpu.parallel.mesh import data_mesh
+    from hutoken_tpu.parallel.train import distributed_bbpe_train
+    from hutoken_tpu.train.bbpe import bbpe_train_core
+
+    mesh = data_mesh(1)
+    rng = random.Random(77)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abcdeé ") for _ in range(rng.randrange(1, 9)))
+            for _ in range(60)
+        ]
+        corpus = " ".join(rng.choice(words) for _ in range(500)).encode()
+        want = bbpe_train_core(corpus, 300, verbose=False)
+        got = distributed_bbpe_train(corpus, 300, mesh=mesh, verbose=False)
+        assert got == want

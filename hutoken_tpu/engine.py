@@ -903,15 +903,21 @@ class TpuTokenizer:
                         if not len(sel):
                             continue
                         ln = nl[sel]
-                        off = no[sel]
-                        k = len(sel)
-                        raw = np.zeros((k, b), dtype=np.uint8)
-                        tot = int(ln.sum())
-                        pos = np.arange(tot) - np.repeat(
-                            np.cumsum(ln) - ln, ln
-                        )
-                        rows_idx = np.repeat(np.arange(k), ln)
-                        raw[rows_idx, pos] = nb[np.repeat(off, ln) + pos]
+                        raw = None
+                        if self._native_split_ok:
+                            from .native import pack_rows
+
+                            raw = pack_rows(nb, no, nl, sel, b)
+                        if raw is None:  # pure-python fallback pack
+                            off = no[sel]
+                            k = len(sel)
+                            raw = np.zeros((k, b), dtype=np.uint8)
+                            tot = int(ln.sum())
+                            pos = np.arange(tot) - np.repeat(
+                                np.cumsum(ln) - ln, ln
+                            )
+                            rows_idx = np.repeat(np.arange(k), ln)
+                            raw[rows_idx, pos] = nb[np.repeat(off, ln) + pos]
                         carry_byte[b].append((gids[sel], raw, ln))
                     if (nl > MAX_DEVICE_LEN).any():
                         nbb = nb.tobytes()

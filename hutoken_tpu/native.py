@@ -139,6 +139,9 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib.ht_assemble_fill.argtypes = [
         _i32p, _i64p, ctypes.c_int64, _i64p, _i32p, _i64p, _i32p,
     ]
+    lib.ht_pack_rows.argtypes = [
+        _u8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _u8p,
+    ]
     lib.ht_free_i32.argtypes = [_i32p]
     lib.ht_free_i64.argtypes = [_i64p]
     lib.ht_free_u8.argtypes = [_u8p]
@@ -604,3 +607,34 @@ class NativeEngine:
         self._lib.ht_free_u8(out_bytes)
         self._lib.ht_free_i64(out_offs)
         return data, roffs
+
+
+def pack_rows(blob: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+              sel, width: int) -> "np.ndarray | None":
+    """Dense [k, width] uint8 rows from ragged blob words via the native
+    per-word memcpy packer (None when the library is unavailable).
+
+    ``sel`` selects (and orders) the words; pass None for all words.
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    if sel is None:
+        k = len(lens)
+        selp = None
+    else:
+        sel = np.ascontiguousarray(sel, dtype=np.int64)
+        k = len(sel)
+        selp = sel.ctypes.data_as(_i64p)
+    out = np.empty((k, width), dtype=np.uint8)
+    lib.ht_pack_rows(
+        blob.ctypes.data_as(_u8p),
+        offs.ctypes.data_as(_i64p),
+        lens.ctypes.data_as(_i64p),
+        selp, k, width,
+        out.ctypes.data_as(_u8p),
+    )
+    return out

@@ -2021,4 +2021,19 @@ void ht_free_i32(int32_t* p) { free(p); }
 void ht_free_i64(int64_t* p) { free(p); }
 void ht_free_u8(uint8_t* p) { free(p); }
 
+// Pack selected ragged words from a byte blob into a caller-allocated
+// dense [k, width] row matrix (zero padding).  Replaces the engine's
+// numpy fancy-scatter pack on the resolve critical path: per-word
+// memcpy runs at memory speed and k is ~1e5 per group.
+void ht_pack_rows(const uint8_t* blob, const int64_t* offs,
+                  const int64_t* lens, const int64_t* sel, int64_t k,
+                  int64_t width, uint8_t* out) {
+  std::memset(out, 0, size_t(k) * size_t(width));
+  for (int64_t i = 0; i < k; ++i) {
+    const int64_t w = sel ? sel[i] : i;
+    const int64_t n = lens[w] < width ? lens[w] : width;
+    std::memcpy(out + size_t(i) * size_t(width), blob + offs[w], size_t(n));
+  }
+}
+
 }  // extern "C"

@@ -141,3 +141,27 @@ def test_native_split_simd_fuzz():
         got = [it._spans[g] for g in wg.tolist()]
         want = [w.encode("utf-8") for w in split_words(doc) if w]
         assert got == want, f"split mismatch on {doc!r}: {got} != {want}"
+
+
+def test_pack_rows_matches_numpy():
+    """Native ragged->dense row packer vs the numpy reference pack."""
+    import numpy as np
+
+    from hutoken_tpu.native import load_native, pack_rows
+
+    if load_native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 20, 500).astype(np.int64)
+    blob = rng.integers(0, 256, int(lens.sum())).astype(np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sel = rng.permutation(500)[:321].astype(np.int64)
+    width = 16
+    got = pack_rows(blob, offs, lens, sel, width)
+    want = np.zeros((len(sel), width), dtype=np.uint8)
+    for i, w in enumerate(sel):
+        n = min(int(lens[w]), width)
+        want[i, :n] = blob[offs[w] : offs[w] + n]
+    assert np.array_equal(got, want)

@@ -324,7 +324,7 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
     )
 
     # large launches amortize the tunneled dispatch floor (~2-3 ms)
-    rows_mult = ROW_TILE * 8 * 8  # group_w=16, 16384 words per launch
+    rows_mult = ROW_TILE * 8 * 16  # group_w=16, 32768 words per launch
     nblk = max(len(words) // rows_mult, 1)
     words = words[: nblk * rows_mult]
     blocks = []

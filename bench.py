@@ -342,10 +342,14 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
     import jax
     import jax.numpy as jnp
 
+    full_table = (
+        engine.table_arrays if engine._pallas_tab.partial else None
+    )
+
     def launch(raw_d, lens_d):
         return merge_words_from_bytes_pallas(
             engine._pallas_tab, raw_d, lens_d,
-            engine._u16_out, group_w=16,
+            engine._u16_out, group_w=16, full_table=full_table,
         )
 
     # device-resident inputs: the engine's pipeline overlaps uploads
@@ -368,10 +372,16 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
     out0 = np.asarray(jax.device_get(outs[0])).astype(np.int64)
     raw0, lens0 = blocks[0]
     W0 = raw0.shape[0]
-    counts0 = out0[:W0]
+    # partial tables flag divergent words with count bit 0x8000; the
+    # engine re-encodes those host-side, so skip them here
+    counts_raw0 = out0[:W0]
+    flagged0 = (counts_raw0 & 0x8000) != 0
+    counts0 = counts_raw0 & 0x7FFF
     toks0 = out0[W0:]
     starts0 = np.concatenate(([0], np.cumsum(counts0)[:-1]))
     for i in (0, 1, W0 // 2, W0 - 1):
+        if flagged0[i]:
+            continue  # divergence-flagged: host path re-encodes these
         wb = bytes(raw0[i, : lens0[i]])
         want = _oracle.encode_word(engine.ctx, wb, None) if lens0[i] else []
         got = toks0[starts0[i] : starts0[i] + counts0[i]].tolist()

@@ -552,7 +552,12 @@ class TpuTokenizer:
         while lo < len(items):
             hi = min(lo + rows, len(items))
             k = hi - lo
-            raw = np.zeros((rows, bucket), dtype=np.uint8)
+            # partial tail: shrink to the smallest row count that fits
+            # (a 16384-row mostly-padding block costs real compute)
+            r = rows
+            while r // 4 >= k and r // 4 >= 64:
+                r //= 4
+            raw = np.zeros((r, bucket), dtype=np.uint8)
             cl = lens[lo:hi]
             cs = starts[lo:hi]
             # vectorized ragged pack: scatter all word bytes at once
@@ -561,13 +566,13 @@ class TpuTokenizer:
             )
             rows_idx = np.repeat(np.arange(k), cl)
             raw[rows_idx, pos_in_word] = flat[np.repeat(cs, cl) + pos_in_word]
-            lens_pad = np.zeros(rows, dtype=np.int32)
+            lens_pad = np.zeros(r, dtype=np.int32)
             lens_pad[:k] = cl
             handle = self._merge_bytes_block(
                 raw, lens_pad, int(cl.max(initial=1))
             )
             self._stage_launch(
-                handle, [key for key, _ in items[lo:hi]], rows,
+                handle, [key for key, _ in items[lo:hi]], r,
                 int(cl.sum()), pending, redo_src=(raw, lens_pad),
             )
             lo = hi
@@ -1388,19 +1393,12 @@ class TpuTokenizer:
 
     # decode on the device (SURVEY §7 step 3: lens-gather + concat +
     # reverse remap as array ops; reference src/core.c:513-581)
-    DEC_BLOCK = 1 << 16
 
     def _ensure_decode_device(self) -> None:
-        if getattr(self, "_dec_tables", None) is not None:
+        if getattr(self, "_dec_decoded", None) is not None:
             return
         jnp = self._jnp
         t = self.tables
-        self._dec_tables = (
-            jnp.asarray(t.token_bytes),
-            jnp.asarray(t.token_lens),
-            jnp.asarray(self._pat1),
-            jnp.asarray(self._pat2),
-        )
         # precompute each token's DECODED bytes once (the reverse remap
         # is per-char and chars never straddle tokens, so a token's
         # decoded spelling is context-free — reference semantics:

@@ -135,49 +135,55 @@ def _make_shard_ops(K: int, n_dev: int):
         inf = jnp.int32(0x7FFFFFFF)
         cand = jnp.where(hist == m, occ, inf)
         best_key = jnp.argmin(cand).astype(jnp.int32)
-        return best_key, m.astype(jnp.int32)
+        return (
+            (best_key // K).astype(jnp.int32),
+            (best_key % K).astype(jnp.int32),
+            m.astype(jnp.int32),
+        )
 
     def count_pick_sorted(ids):
         """Single-shard fused count+pick without the K^2 tables.
 
-        Sorting the (pair key, position) stream and reducing segments
-        with associative scans is ~3x cheaper on TPU than two K^2
-        scatters + argmax (measured 11.6 vs 33.7 ms at 2M / K=1257).
-        The pick rule is byte-identical to pick_best: max count, then
-        minimal LAST-occurrence position (the stable sort keeps
-        positions ascending inside a segment, so the segment-end
-        position IS the pair's last occurrence), then lowest key.
+        Sorting the (id1, id2, position) stream (two sort keys — no
+        a*K+b product, so any vocab size works without overflow) and
+        reducing segments with associative scans is ~3x cheaper on TPU
+        than two K^2 scatters + argmax (measured 11.6 vs 33.7 ms at
+        2M / K=1257).  The pick rule is byte-identical to pick_best:
+        max count, then minimal LAST-occurrence position (the stable
+        sort keeps positions ascending inside a segment, so the
+        segment-end position IS the pair's last occurrence), then the
+        lowest (id1, id2).
         """
         a, b, pos, _lastvalid = _pair_operands(ids)
         valid = (a >= 0) & (b >= 0)
-        big = K * K
-        dt = jnp.int64 if big >= 2**31 else jnp.int32
-        keys = jnp.where(
-            valid, a.astype(dt) * K + b.astype(dt), jnp.array(big, dt)
-        )
-        sk, sp = jax.lax.sort((keys, pos), num_keys=1)
+        # invalid pairs sort last: id values are < K <= 2^31-1
+        hi = jnp.int32(0x7FFFFFFF)
+        ka = jnp.where(valid, a, hi)
+        kb = jnp.where(valid, b, hi)
+        sa, sb, sp = jax.lax.sort((ka, kb, pos), num_keys=2)
         n = ids.shape[0]
         idx = jnp.arange(n, dtype=jnp.int32)
-        diff = sk[1:] != sk[:-1]
+        diff = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
         segstart = jnp.concatenate([jnp.ones((1,), bool), diff])
         startpos = jax.lax.associative_scan(
             jnp.maximum, jnp.where(segstart, idx, -1)
         )
         length = idx - startpos + 1
         segend = jnp.concatenate([diff, jnp.ones((1,), bool)])
-        realend = segend & (sk < jnp.array(big, dt))
+        realend = segend & (sa < hi)
         m = jnp.max(jnp.where(realend, length, 0))
         inf = jnp.int32(0x7FFFFFFF)
         cand = jnp.where(realend & (length == m), sp, inf)
-        # ties between different keys: smaller last-occurrence wins
+        # ties between different pairs: smaller last-occurrence wins
         # (positions are distinct, so cand has a unique minimum among
         # real candidates)
         j = jnp.argmin(cand)
         # single-shard results are trivially replicated; the pmax marks
         # them as such for shard_map's out_specs check (free at D=1)
-        key = jax.lax.pmax(sk[j].astype(jnp.int32), "data")
+        id1 = jax.lax.pmax(sa[j], "data")
+        id2 = jax.lax.pmax(sb[j], "data")
         cnt = jax.lax.pmax(m.astype(jnp.int32), "data")
-        return key, cnt
+        return id1, id2, cnt
 
     def apply_merge(ids, id1, id2, new_id):
         a, b, pos, lastvalid = _pair_operands(ids)
@@ -242,21 +248,19 @@ def make_train_step(K: int, mesh, min_merge_count: int = 2):
 
     def fused(ids, new_id):
         """count + psum + argmax + conditional merge, one dispatch."""
-        key, cnt = step(ids)
-        id1 = (key // K).astype(jnp.int32)
-        id2 = (key % K).astype(jnp.int32)
+        id1, id2, cnt = step(ids)
         merged = apply_merge(ids, id1, id2, new_id[0])
         # byte-level training stops at count <= 1 (src/bbpe.c:83-84) so the
         # merge must not land then; the string trainer merges any best pair
         # (min_merge_count=1).  State untouched -> the caller's break is clean.
         new_ids = jnp.where(cnt >= min_merge_count, merged, ids)
-        return key, cnt, new_ids
+        return id1, id2, cnt, new_ids
 
     count_fn = shard_map(
         step,
         mesh=mesh,
         in_specs=(P("data"),),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
     )
 
     merge_fn = shard_map(
@@ -270,13 +274,12 @@ def make_train_step(K: int, mesh, min_merge_count: int = 2):
         fused,
         mesh=mesh,
         in_specs=(P("data"), P()),
-        out_specs=(P(), P(), P("data")),
+        out_specs=(P(), P(), P(), P("data")),
     )
 
     @jax.jit
     def train_step(ids):
-        key, cnt = count_fn(ids)
-        return key, cnt
+        return count_fn(ids)
 
     @jax.jit
     def merge_step(ids, id1, id2, new_id):
@@ -322,28 +325,26 @@ def make_scan_train_step(K: int, mesh, min_merge_count: int, scan_steps: int):
             if n_dev == 1:
                 # sort-based fused count+pick: ~3x cheaper than the
                 # K^2 scatter histograms (identical pick rule)
-                key, cnt = count_pick_sorted(ids)
+                id1, id2, cnt = count_pick_sorted(ids)
             else:
                 hist, occ = count_shard(ids)
                 hist = jax.lax.psum(hist, "data")
                 occ = jax.lax.pmax(occ, "data")
-                key, cnt = pick_best(hist, occ)
-            id1 = key // K
-            id2 = key % K
+                id1, id2, cnt = pick_best(hist, occ)
             merged = apply_merge(ids, id1, id2, start_new_id[0] + i)
             ids = jnp.where(cnt >= min_merge_count, merged, ids)
-            return ids, (key, cnt)
+            return ids, (id1, id2, cnt)
 
-        ids, (keys, cnts) = jax.lax.scan(
+        ids, (id1s, id2s, cnts) = jax.lax.scan(
             body, ids, jnp.arange(scan_steps, dtype=jnp.int32)
         )
-        return ids, keys, cnts
+        return ids, id1s, id2s, cnts
 
     chunk_fn = shard_map(
         chunk,
         mesh=mesh,
         in_specs=(P("data"), P()),
-        out_specs=(P("data"), P(), P()),
+        out_specs=(P("data"), P(), P(), P()),
     )
 
     @jax.jit
@@ -378,6 +379,13 @@ def _distributed_train(
     from ..parallel.mesh import shard_batch
 
     K = vocab_size + id_offset + 1
+    n_dev_guard = mesh.devices.size
+    if n_dev_guard > 1 and K * K >= 2**31:
+        raise ValueError(
+            "distributed (multi-device) training requires vocab_size < "
+            "46340 (the psum histogram keys are int32); single-device "
+            "meshes use the sort-based path with no such limit"
+        )
     str2id: dict[bytes, int] = {}
     id2str: dict[int, bytes] = {}
     for i in range(256):
@@ -432,10 +440,9 @@ def _distributed_train(
     timing = os.environ.get("HUTOKEN_TPU_TIMING") == "1"
     chunk_times: list[float] = []
 
-    def bookkeep(key: int, cnt: int, expected_id: int):
+    def bookkeep(id1: int, id2: int, cnt: int, expected_id: int):
         """Returns (stop, replacement, stop_key)."""
         nonlocal count, merges_since_ckpt
-        id1, id2 = key // K, key % K
         merge_log.append((id1, id2, expected_id))
         merges_since_ckpt += 1
         if merges_since_ckpt >= checkpoint_every:
@@ -460,8 +467,9 @@ def _distributed_train(
         chunk_added: list[bytes] = []
         start_id = count + id_offset
         t_chunk = time.perf_counter() if timing else 0.0
-        new_ids, keys, cnts = scan_step(ids, start_id)
-        keys = np.asarray(keys)
+        new_ids, id1s, id2s, cnts = scan_step(ids, start_id)
+        id1s = np.asarray(id1s)
+        id2s = np.asarray(id2s)
         cnts = np.asarray(cnts)
         if timing:
             chunk_times.append(time.perf_counter() - t_chunk)
@@ -483,7 +491,9 @@ def _distributed_train(
                 # a duplicate-spelling merge desynced device id assignment
                 diverged_at = i
                 break
-            replacement, stop_key = bookkeep(int(keys[i]), cnt, expected_id)
+            replacement, stop_key = bookkeep(
+                int(id1s[i]), int(id2s[i]), cnt, expected_id
+            )
             if not replacement:
                 chunk_added.append(id2str[expected_id])
             if prev_stop_key is not None and stop_key == prev_stop_key:
@@ -507,21 +517,25 @@ def _distributed_train(
             prev_stop_key = None  # conservatively recomputed below
             ids = chunk_start_ids
             done = False
-            # single-step only past the divergence point (2 steps), then
-            # resume scanning: each single step costs a full dispatch,
-            # so finishing the whole chunk single-step wastes ~15x
-            for _ in range(2):
+            # single-step up to AND past the divergence point, then
+            # resume scanning: stopping short of the duplicate would
+            # make the next scan re-diverge at the same step and waste
+            # a full chunk dispatch per cycle; finishing the whole chunk
+            # single-step wastes ~15x the other way
+            for _ in range(min(diverged_at + 2, scan_steps)):
                 if count >= vocab_size:
                     done = True
                     break
                 new_id = count + id_offset
-                key, cnt, stepped = fused_single(ids, new_id)
+                s_id1, s_id2, cnt, stepped = fused_single(ids, new_id)
                 cnt = int(cnt)
                 if cnt < min_merge_count:
                     done = True
                     break
                 ids = stepped
-                replacement, stop_key = bookkeep(int(key), cnt, new_id)
+                replacement, stop_key = bookkeep(
+                    int(s_id1), int(s_id2), cnt, new_id
+                )
                 if prev_stop_key is not None and stop_key == prev_stop_key:
                     done = True
                     break

@@ -470,7 +470,7 @@ void scalar_starts_chars(const uint8_t* text, size_t* i, size_t stop,
 // bytes consumed (emitting starts and advancing `st`), or 0 when the
 // window contains bytes outside the supported alphabet (state and
 // output untouched; the caller runs the scalar path for a stretch).
-__attribute__((target("avx512f,avx512bw,avx512vbmi,bmi2")))
+__attribute__((target("avx512f,avx512bw,avx512vbmi,bmi,bmi2")))
 size_t split_window_avx512(const uint8_t* text, size_t i, size_t n,
                            SplitState& st, std::vector<int32_t>& starts) {
   // Supported: ASCII plus valid 2-byte sequences led by 0xC3/0xC5 (the
@@ -568,6 +568,7 @@ size_t split_window_avx512(const uint8_t* text, size_t i, size_t n,
 inline bool have_simd_split() {
   static const bool ok = __builtin_cpu_supports("avx512vbmi") &&
                          __builtin_cpu_supports("avx512bw") &&
+                         __builtin_cpu_supports("bmi") &&
                          __builtin_cpu_supports("bmi2");
   return ok;
 }

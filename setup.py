@@ -27,14 +27,19 @@ class NativeLibBuild(build_ext):
         return ext.export_symbols
 
 
-_march = os.environ.get("HUTOKEN_TPU_MARCH", "native")
+# wheels default to portable codegen: -march=native baked into a wheel
+# SIGILLs on older CPUs (the optional=True escape only covers compile
+# failures).  Set HUTOKEN_TPU_MARCH=native for a machine-local build —
+# the dev-checkout `make -C native` path already uses it.
+_march = os.environ.get("HUTOKEN_TPU_MARCH", "")
+_arch_flags = [f"-march={_march}"] if _march else []
 
 native_ext = Extension(
     "hutoken_tpu._native.libhutoken_host",
     sources=["native/src/hutoken_host.cpp"],
     language="c++",
     extra_compile_args=[
-        "-O3", "-std=c++17", "-funroll-loops", f"-march={_march}", "-fPIC",
+        "-O3", "-std=c++17", "-funroll-loops", "-fPIC", *_arch_flags,
     ],
     extra_link_args=["-pthread"],
     optional=True,  # graceful pure-Python fallback

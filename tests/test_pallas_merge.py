@@ -176,3 +176,33 @@ def test_kernel_parity_compiled_tpu(byte_ctx, ptab, gw):
     W = PM.ROW_TILE * (128 // gw)
     raw, lens = _random_block(rng, gw, W)
     _check_block(byte_ctx, ptab, raw, lens, gw, interpret=False)
+
+
+@pytest.mark.skipif(
+    not _on_accelerator() and os.environ.get("HUTOKEN_TPU_FORCE_TPU_TESTS") != "1",
+    reason="needs a real accelerator (Mosaic compile)",
+)
+def test_partial_table_engine_exact_compiled():
+    """Partial-table path with the real compiled kernel on the chip
+    (the interpret-mode test covers CPU)."""
+    import numpy as np
+
+    from hutoken_tpu.engine import TpuTokenizer
+
+    v, s = ft.write_big_vocab_fixture()
+    m = ft.write_big_merges_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True, merges_file_path=m)
+    tok = TpuTokenizer(ctx)
+    assert tok._pallas_tab is not None
+    rng = np.random.default_rng(41)
+    letters = list("abcdefghijklmnopqrstuvwxyz0123456789")
+    docs = [
+        " ".join(
+            "".join(rng.choice(letters, rng.integers(1, 15)))
+            for _ in range(rng.integers(1, 20))
+        )
+        for _ in range(48)
+    ]
+    got = tok.encode_batch(docs)
+    for d, g in zip(docs, got):
+        assert g == oracle.encode(ctx, d)

@@ -298,6 +298,11 @@ class TpuTokenizer:
         # cumulative seed elements (bytes, on the byte path) launched to
         # the device — bench.py reports device_byte_share from this
         self.stat_device_bytes = 0
+        # partial-table divergence accounting: words flagged (0x8000
+        # count bit) are re-encoded host-side; bench.py reports
+        # flagged/total so a quietly host-bound config is visible
+        self.stat_flagged_words = 0
+        self.stat_device_words = 0
         self._reaper = None
         self._row_blocks = (
             ROW_BLOCKS_PALLAS if self._pallas_tab is not None else ROW_BLOCKS
@@ -670,6 +675,8 @@ class TpuTokenizer:
             res_start[key_arr] = starts
             res_len[key_arr] = counts
             flagged = np.nonzero(counts_raw & 0x8000)[0]
+            self.stat_device_words += k
+            self.stat_flagged_words += int(flagged.size)
             if flagged.size:
                 raw_src, lens_src = redo_src
                 for r in flagged:

@@ -321,35 +321,43 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
     """
     import numpy as np
 
-    # gather this corpus's unique words <= 16 bytes as kernel blocks
+    # gather this corpus's unique words <= 32 bytes as kernel blocks
+    # (the engine routes the same range through the kernel: group_w=16
+    # for <= 16-byte words, group_w=32 for 17-32)
     if engine._pallas_tab is None:
         return
     uniq: dict[bytes, None] = {}
     for d in docs:
         for w in engine._split(d):
             wb = w if isinstance(w, bytes) else w.encode()
-            if 2 <= len(wb) <= 16:
+            if 2 <= len(wb) <= 32:
                 uniq.setdefault(wb, None)
-    words = sorted(uniq, key=len)
     from hutoken_tpu.ops.pallas_merge import (
         ROW_TILE, merge_words_from_bytes_pallas,
     )
 
     # large launches amortize the tunneled dispatch floor (~2-3 ms)
-    rows_mult = ROW_TILE * 8 * 16  # group_w=16, 32768 words per launch
-    nblk = max(len(words) // rows_mult, 1)
-    words = words[: nblk * rows_mult]
-    blocks = []
+    blocks = []  # (raw, lens, group_w)
     kernel_bytes = 0
-    for b in range(nblk):
-        chunk = words[b * rows_mult : (b + 1) * rows_mult]
-        raw = np.zeros((rows_mult, 16), dtype=np.uint8)
-        lens = np.zeros(rows_mult, dtype=np.int32)
-        for i, wb in enumerate(chunk):
-            raw[i, : len(wb)] = np.frombuffer(wb, dtype=np.uint8)
-            lens[i] = len(wb)
-        kernel_bytes += int(lens.sum())
-        blocks.append((raw, lens))
+    for width, gw in ((16, 16), (32, 32)):
+        lo = 2 if width == 16 else 17
+        words = sorted(
+            (w for w in uniq if lo <= len(w) <= width), key=len
+        )
+        rows_mult = ROW_TILE * (128 // gw) * (16 if gw == 16 else 8)
+        nblk = len(words) // rows_mult
+        if not nblk and width == 16:
+            nblk = 1
+        words = words[: nblk * rows_mult]
+        for b in range(nblk):
+            chunk = words[b * rows_mult : (b + 1) * rows_mult]
+            raw = np.zeros((rows_mult, width), dtype=np.uint8)
+            lens = np.zeros(rows_mult, dtype=np.int32)
+            for i, wb in enumerate(chunk):
+                raw[i, : len(wb)] = np.frombuffer(wb, dtype=np.uint8)
+                lens[i] = len(wb)
+            kernel_bytes += int(lens.sum())
+            blocks.append((raw, lens, gw))
 
     import jax
     import jax.numpy as jnp
@@ -358,23 +366,25 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
         engine.table_arrays if engine._pallas_tab.partial else None
     )
 
-    def launch(raw_d, lens_d):
+    def launch(raw_d, lens_d, gw):
         return merge_words_from_bytes_pallas(
             engine._pallas_tab, raw_d, lens_d,
-            engine._u16_out, group_w=16, full_table=full_table,
+            engine._u16_out, group_w=gw, full_table=full_table,
         )
 
     # device-resident inputs: the engine's pipeline overlaps uploads
     # with compute, so the kernel metric measures the kernel, not the
     # tunnel's ~25 ms per-transfer latency (reported separately below)
     dev_blocks = [
-        (jax.device_put(jnp.asarray(r)), jax.device_put(jnp.asarray(ln)))
-        for r, ln in blocks
+        (jax.device_put(jnp.asarray(r)), jax.device_put(jnp.asarray(ln)), gw)
+        for r, ln, gw in blocks
     ]
-    jax.block_until_ready([a for ab in dev_blocks for a in ab])
-    jax.block_until_ready(launch(*dev_blocks[0]))  # compile
+    jax.block_until_ready([a for ab in dev_blocks for a in ab[:2]])
+    for gw_warm in {gw for _, _, gw in dev_blocks}:
+        first = next(b for b in dev_blocks if b[2] == gw_warm)
+        jax.block_until_ready(launch(*first))  # compile each shape
     t0 = time.perf_counter()
-    outs = [launch(r, ln) for r, ln in dev_blocks]
+    outs = [launch(r, ln, gw) for r, ln, gw in dev_blocks]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     kmbps = kernel_bytes / dt / 1e6
@@ -382,7 +392,7 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
     from hutoken_tpu import oracle as _oracle
 
     out0 = np.asarray(jax.device_get(outs[0])).astype(np.int64)
-    raw0, lens0 = blocks[0]
+    raw0, lens0, _gw0 = blocks[0]
     W0 = raw0.shape[0]
     # partial tables flag divergent words with count bit 0x8000; the
     # engine re-encodes those host-side, so skip them here
@@ -407,7 +417,7 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
         "unit": "MB/s",
         "vs_baseline": round(kmbps / BASELINE, 3),
         "input_mb": round(kernel_bytes / 1e6, 2),
-        "n_launches": nblk,
+        "n_launches": len(blocks),
     }), flush=True)
     # d2h wall measurement for the record (environment artifact)
     t0 = time.perf_counter()

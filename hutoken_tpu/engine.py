@@ -1299,8 +1299,11 @@ class TpuTokenizer:
             W *= 2
         if W < L:
             raw = raw[:, :W]
-        if self._pallas_tab is not None and W <= 16:
-            gw = 8 if W <= 8 else 16
+        if self._pallas_tab is not None and W <= 32:
+            # words of 17-32 bytes ride the same kernel at 4 words per
+            # 128-lane row (VERDICT r3 #2a: these previously fell to the
+            # ~20 MB/s XLA gather path)
+            gw = 8 if W <= 8 else (16 if W <= 16 else 32)
             wpr = 128 // gw
             from .ops.pallas_merge import ROW_TILE, merge_words_from_bytes_pallas
 

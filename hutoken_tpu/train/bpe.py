@@ -65,8 +65,13 @@ def bpe_train_core(
     csid = text.astype(np.int64)  # canonical string ids; 0-255 = single bytes
     csid_to_bytes: list[bytes] = [bytes([i]) for i in range(256)]
     bytes_to_csid: dict[bytes, int] = {bytes([i]): i for i in range(256)}
-    # cache: (csid_l, csid_r) pair key -> interned concat csid
-    pair_string_cache: dict[int, int] = {}
+    # cache: (csid_l, csid_r) -> interned concat csid.  Keyed by the id
+    # TUPLE, not the packed integer l*K+r: K grows between rounds, so a
+    # packed key from one round can alias a different pair in another
+    # (the reference has no such cache — its per-round stats map keys by
+    # the pair STRING, bpe.c:130-165 — so aliasing would silently
+    # corrupt group counts, as it did before round 4 fixed this)
+    pair_string_cache: dict[tuple[int, int], int] = {}
 
     token_n = token_num
     prev_key: bytes | None = None
@@ -85,15 +90,16 @@ def bpe_train_core(
         group_of_pair = np.empty(uniq.shape[0], dtype=np.int64)
         for j, k in enumerate(uniq):
             k = int(k)
-            g = pair_string_cache.get(k)
+            lr = (k // K, k % K)
+            g = pair_string_cache.get(lr)
             if g is None:
-                s = csid_to_bytes[k // K] + csid_to_bytes[k % K]
+                s = csid_to_bytes[lr[0]] + csid_to_bytes[lr[1]]
                 g = bytes_to_csid.get(s)
                 if g is None:
                     g = len(csid_to_bytes)
                     csid_to_bytes.append(s)
                     bytes_to_csid[s] = g
-                pair_string_cache[k] = g
+                pair_string_cache[lr] = g
             group_of_pair[j] = g
         pos_groups = group_of_pair[inverse]
         num_groups = len(csid_to_bytes)

@@ -69,7 +69,7 @@ def _check_block(ctx, ptab, raw, lens, gw, interpret):
         assert got == exp, (wb, exp, got)
 
 
-@pytest.mark.parametrize("gw", [8, 16])
+@pytest.mark.parametrize("gw", [8, 16, 32])
 def test_kernel_parity_interpret(byte_ctx, ptab, gw):
     rng = np.random.default_rng(11 + gw)
     W = PM.ROW_TILE * (128 // gw)
@@ -170,7 +170,7 @@ def _on_accelerator():
     not _on_accelerator() and os.environ.get("HUTOKEN_TPU_FORCE_TPU_TESTS") != "1",
     reason="needs a real accelerator (Mosaic compile)",
 )
-@pytest.mark.parametrize("gw", [8, 16])
+@pytest.mark.parametrize("gw", [8, 16, 32])
 def test_kernel_parity_compiled_tpu(byte_ctx, ptab, gw):
     rng = np.random.default_rng(99 + gw)
     W = PM.ROW_TILE * (128 // gw)

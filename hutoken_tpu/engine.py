@@ -964,8 +964,26 @@ class TpuTokenizer:
         _push_drain()
         t_launch += _time.perf_counter() - tg
 
+        # host-tail encode runs in a worker thread (the native scalar
+        # engine drops the GIL) OVERLAPPED with the device drain +
+        # extract below; results land in private buffers and integrate
+        # after extract (the span pool is not thread-safe)
         tg = _time.perf_counter()
-        self._encode_host_tail(host_tail)
+        tail_results: list = []
+        tail_err: list = []
+        tail_thread = None
+        if host_tail:
+
+            def _tail_worker() -> None:
+                try:
+                    tail_results.extend(
+                        self._encode_host_tail_parts(host_tail)
+                    )
+                except BaseException as e:  # re-raised on the main thread
+                    tail_err.append(e)
+
+            tail_thread = threading.Thread(target=_tail_worker, daemon=True)
+            tail_thread.start()
         t_tail = _time.perf_counter() - tg
 
         if timing:
@@ -973,7 +991,7 @@ class TpuTokenizer:
                 f"[ht-timing] split+resolve+launch: {_time.perf_counter()-t0:.3f}s"
                 f" (prep {t_prep:.3f} split-wait {t_split:.3f}"
                 f" resolve {t_resolve:.3f} launch {t_launch:.3f}"
-                f" host-tail {t_tail:.3f})"
+                f" host-tail-start {t_tail:.3f})"
             )
             t0 = _time.perf_counter()
 
@@ -989,6 +1007,20 @@ class TpuTokenizer:
         )
         self._retire(pending)
         pending = None
+        if tail_thread is not None:
+            tg = _time.perf_counter()
+            tail_thread.join()
+            if tail_err:
+                raise tail_err[0]
+            for gids, toks, spans in tail_results:
+                base = self._pool_append_flat(toks)
+                self._gid_start[gids] = base + spans[:-1]
+                self._gid_len[gids] = spans[1:] - spans[:-1]
+            if timing:
+                print(
+                    f"[ht-timing] host-tail join+fill: "
+                    f"{_time.perf_counter()-tg:.3f}s"
+                )
         if timing:
             print(f"[ht-timing] sync+extract: {_time.perf_counter()-t0:.3f}s")
             t0 = _time.perf_counter()
@@ -1034,12 +1066,15 @@ class TpuTokenizer:
                 self._nat_enc = None
         return self._nat_enc
 
-    def _encode_host_tail(self, host_tail: list) -> None:
+    def _encode_host_tail_parts(self, host_tail: list) -> list:
         """Exact scalar encode of the sub-block remainder (new unique
         words that never filled a device block): a few KB of rare words,
-        cheaper on the host than one padded device round trip."""
-        if not host_tail:
-            return
+        cheaper on the host than one padded device round trip.
+
+        Returns ``(gids, flat_tokens, spans)`` per part WITHOUT touching
+        shared engine state, so it can run on a worker thread overlapped
+        with the device drain (the native call drops the GIL)."""
+        out = []
         nat = self._native_word_encoder()
         for gids, raw, lens in host_tail:
             k, width = raw.shape
@@ -1047,16 +1082,18 @@ class TpuTokenizer:
                 flat = np.ascontiguousarray(raw).reshape(-1)
                 offs = np.arange(k, dtype=np.int64) * width
                 toks, spans = nat.encode_words(flat, offs, lens, num_threads=2)
-                base = self._pool_append_flat(toks)
-                self._gid_start[gids] = base + spans[:-1]
-                self._gid_len[gids] = spans[1:] - spans[:-1]
+                out.append((gids, toks, spans))
             else:  # pure-python fallback, exact but slower
                 lens_l = lens.tolist()
+                toks_l: list[int] = []
+                spans = np.zeros(k + 1, dtype=np.int64)
                 for r in range(k):
                     wb = raw[r, : lens_l[r]].tobytes()
-                    sp = self._pool_append(self._encode_word_host(wb, None))
-                    self._gid_start[gids[r]] = sp[0]
-                    self._gid_len[gids[r]] = sp[1]
+                    t = self._encode_word_host(wb, None)
+                    toks_l.extend(t)
+                    spans[r + 1] = spans[r] + len(t)
+                out.append((gids, np.asarray(toks_l, dtype=np.int32), spans))
+        return out
 
     def _ensure_gid_capacity(self, n: int) -> None:
         cap = self._gid_start.shape[0]

@@ -33,7 +33,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-INF_RANK = jnp.int32(0x7FFFFFFF)
+# plain Python int (weak-typed in jnp ops, so results stay int32): a
+# module-level jnp scalar would initialize the XLA backend at import,
+# which breaks jax.distributed.initialize (must run before any backend
+# use — see parallel/multihost.py)
+INF_RANK = 0x7FFFFFFF
 
 
 def fast_gather(table_1d: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -33,7 +33,8 @@ def initialize_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 

@@ -439,7 +439,34 @@ def make_train_step(
     return train_step, merge_step, fused_step
 
 
+# jitted-step memoization across trainer calls: repeated trainings in
+# one process (bench warmup + timed run, resumed runs, sweeps) reuse
+# the compiled executable instead of re-tracing a fresh closure.  The
+# scan HLO is K-independent on the single-device sort path and the
+# candidate path (K only shapes the dense histogram), so those key K
+# as a constant.
+_SCAN_STEP_CACHE: dict = {}
+
+
 def make_scan_train_step(
+    K: int, mesh, min_merge_count: int, scan_steps: int,
+    use_candidates: bool = False, k_top: int = 1024,
+):
+    n_dev_key = mesh.devices.size
+    k_key = K if (n_dev_key > 1 and not use_candidates) else -1
+    key = (k_key, mesh, min_merge_count, scan_steps, use_candidates, k_top)
+    hit = _SCAN_STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _make_scan_train_step(
+        K, mesh, min_merge_count, scan_steps,
+        use_candidates=use_candidates, k_top=k_top,
+    )
+    _SCAN_STEP_CACHE[key] = out
+    return out
+
+
+def _make_scan_train_step(
     K: int, mesh, min_merge_count: int, scan_steps: int,
     use_candidates: bool = False, k_top: int = 1024,
 ):

@@ -27,6 +27,16 @@ def main() -> None:
     parser.add_argument("--devices", type=int, default=None)
     parser.add_argument("--cpu", action="store_true", help="force CPU mesh")
     parser.add_argument("--json", default=None, help="write results JSON")
+    parser.add_argument(
+        "--seed", type=int, default=None,
+        help="corpus seed; default time-salted so repeated runs can "
+        "never be served from any result-dedup layer",
+    )
+    parser.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip the compile warmup (include jit compile in the "
+        "timed window)",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -44,11 +54,36 @@ def main() -> None:
     from hutoken_tpu.parallel.mesh import data_mesh
     from hutoken_tpu.parallel.train import distributed_bbpe_train
 
-    corpus = " ".join(build_corpus(args.mb)).encode("utf-8")
+    # time-salted seed: the corpus content differs per run, so neither
+    # a caching transport layer (the tunneled backend deduplicates
+    # byte-identical dispatches) nor stale results can fake the number;
+    # the SHAPE (trimmed byte count) stays identical so the warmup's
+    # compiled executable is reused by the timed run.
+    seed = args.seed if args.seed is not None else int(time.time()) % 100000
+    target_bytes = int(args.mb * 1e6)
+
+    def corpus_with(s: int) -> bytes:
+        c = " ".join(build_corpus(args.mb + 0.2, seed=s)).encode("utf-8")
+        return c[:target_bytes]
+
+    corpus = corpus_with(seed)
     vocab_size = 256 + args.merges
     mesh = data_mesh(args.devices)
     n_dev = int(mesh.devices.size)
     print(f"corpus {len(corpus)/1e6:.1f} MB, {n_dev} device(s), target {vocab_size}")
+
+    warmup_s = 0.0
+    if not args.no_warmup:
+        # compile warmup on a DIFFERENT-content, same-shape corpus:
+        # the jitted scan step is memoized across trainer calls
+        # (parallel/train.py _SCAN_STEP_CACHE), so the timed run pays
+        # zero compile while still doing every real merge step
+        t0 = time.perf_counter()
+        distributed_bbpe_train(
+            corpus_with(seed + 1), 256 + 64, mesh=mesh, verbose=False
+        )
+        warmup_s = time.perf_counter() - t0
+        print(f"warmup (compile) {warmup_s:.1f}s")
 
     t0 = time.perf_counter()
     str2id = distributed_bbpe_train(corpus, vocab_size, mesh=mesh, verbose=False)
@@ -71,6 +106,8 @@ def main() -> None:
                     "merges": n_merges,
                     "wall_s": round(dt, 1),
                     "merges_per_s": round(n_merges / dt, 2),
+                    "warmup_compile_s": round(warmup_s, 1),
+                    "corpus_seed": seed,
                 },
                 f,
                 indent=1,

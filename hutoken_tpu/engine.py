@@ -1662,16 +1662,14 @@ class TpuTokenizer:
         from .ops.decode import decode_gather_blob
         from .ops.merge import slice_prefix
 
-        ld = self._dec_decoded_np.shape[1]
         launches = []
-        for ids_p, offs_p, nq, tq, tbytes in self._decode_chunks(
+        for delta_p, offs_p, _nq, tq, tbytes in self._decode_chunks(
             flat32, offs
         ):
             h = decode_gather_blob(
                 self._dec_decoded_flat,
-                jnp.asarray(ids_p),
+                jnp.asarray(delta_p),
                 jnp.asarray(offs_p),
-                ld,
                 tq,
             )
             GRAN = 1 << 15
@@ -1692,11 +1690,13 @@ class TpuTokenizer:
         )
 
     def _decode_chunks(self, flat32: np.ndarray, offs):
-        """Yield (padded ids, padded per-chunk offsets, n-quantum,
-        t-quantum, real byte count) launch chunks."""
+        """Yield (padded v-deltas, padded per-chunk offsets, n-quantum,
+        t-quantum, real byte count) launch chunks for
+        ``decode_gather_blob`` (see ops/decode.py for the v scheme)."""
         N = flat32.shape[0]
         NMAX = self.DEC_N_QUANTA[-1]
         TMAX = self.DEC_T_QUANTA[-1]
+        ld = self._dec_decoded_np.shape[1]
         lo = 0
         while lo < N:
             hi = min(lo + NMAX, N)
@@ -1709,11 +1709,13 @@ class TpuTokenizer:
             tbytes = int(offs[hi] - offs[lo])
             nq = next((q for q in self.DEC_N_QUANTA if q >= n), NMAX)
             tq = next((q for q in self.DEC_T_QUANTA if q >= tbytes), TMAX)
-            ids_p = np.zeros(nq, np.int32)
-            ids_p[:n] = flat32[lo:hi]
+            local_offs = (offs[lo:hi] - offs[lo]).astype(np.int32)
+            v = flat32[lo:hi] * np.int32(ld) - local_offs
+            delta_p = np.zeros(nq, np.int32)
+            delta_p[:n] = np.diff(v, prepend=np.int32(0))
             offs_p = np.full(nq, tbytes, np.int32)
-            offs_p[:n] = (offs[lo:hi] - offs[lo]).astype(np.int32)
-            yield ids_p, offs_p, nq, tq, tbytes
+            offs_p[:n] = local_offs
+            yield delta_p, offs_p, nq, tq, tbytes
             lo = hi
 
     def decode_arrays_device(self, flat, doc_offs):
@@ -1751,16 +1753,14 @@ class TpuTokenizer:
         from .ops.decode import decode_gather_blob
         from .ops.merge import slice_prefix
 
-        ld = self._dec_decoded_np.shape[1]
         parts = []
-        for ids_p, offs_p, _nq, tq, tbytes in self._decode_chunks(
+        for delta_p, offs_p, _nq, tq, tbytes in self._decode_chunks(
             flat.astype(np.int32), offs
         ):
             h = decode_gather_blob(
                 self._dec_decoded_flat,
-                jnp.asarray(ids_p),
+                jnp.asarray(delta_p),
                 jnp.asarray(offs_p),
-                ld,
                 tq,
             )
             parts.append((h, tbytes))

@@ -24,28 +24,32 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("ld", "out_size"))
-def decode_gather_blob(dec_flat, ids, offs, ld: int, out_size: int):
-    """Decode a whole token stream in ONE launch.
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def decode_gather_blob(dec_flat, v_delta, offs, out_size: int):
+    """Decode a whole token stream in ONE launch: a scatter, a cumsum,
+    and a single table gather per output byte.
 
-    ``dec_flat`` is the [V*ld] flattened per-id decoded-bytes table,
-    ``ids`` int32 [N] token ids (pad with 0), ``offs`` int32 [N] each
-    token's first output-byte offset, ascending (pad with the total
-    byte count).  Returns a uint8 [out_size] blob whose first ``total``
-    bytes are the decoded text.
+    ``dec_flat`` is the [V*ld] flattened per-id decoded-bytes table.
+    The host precomputes per token ``v[j] = ids[j]*ld - offs[j]`` and
+    passes ``v_delta`` int32 [N] (= v[j] - v[j-1], v[0] for j=0) and
+    ``offs`` int32 [N] (each token's first output-byte offset,
+    ascending; pad tokens carry offs = total, delta = 0).  Then for
+    output byte i owned by token j:
 
-    out[i] = dec_flat[ids[tok(i)] * ld + (i - offs[tok(i)])] where
-    tok(i) = (number of tokens starting at or before byte i) - 1 —
-    computed as a scatter of ones at token starts + a cumsative sum.
-    Zero-length tokens share their successor's start and the cumsum
-    lands on the later token, which owns the byte.
+        out[i] = dec_flat[v[j] + i]        since v[j] + i
+               = ids[j]*ld + (i - offs[j]) = row j, byte-in-token
+
+    and ``v[tok(i)]`` for EVERY byte is one cumsum over the deltas
+    scattered at token starts — tokens sharing a start (zero-length
+    decoded spellings) telescope to the last one, which owns the byte.
+    Returns a uint8 [out_size] blob; bytes past the real total are
+    padding garbage for the caller to slice off.
     """
-    marks = jnp.zeros((out_size,), jnp.int32).at[offs].add(1, mode="drop")
-    tok = jnp.cumsum(marks) - 1
-    tok = jnp.clip(tok, 0, ids.shape[0] - 1)
-    start = offs[tok]
-    pos = jnp.arange(out_size, dtype=jnp.int32) - start
-    idx = ids[tok] * ld + jnp.clip(pos, 0, ld - 1)
+    acc = jnp.zeros((out_size,), jnp.int32).at[offs].add(
+        v_delta, mode="drop"
+    )
+    v = jnp.cumsum(acc)
+    idx = v + jnp.arange(out_size, dtype=jnp.int32)
     idx = jnp.clip(idx, 0, dec_flat.shape[0] - 1)
     return dec_flat[idx]
 

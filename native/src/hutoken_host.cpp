@@ -33,6 +33,14 @@
 
 namespace {
 
+// MSVC portability shims (the AVX-512 splitter section is x86-64
+// GCC/Clang only and compiles out elsewhere; these cover the two
+// stray builtins used on the portable paths)
+#if !defined(__GNUC__) && !defined(__clang__)
+#define __builtin_prefetch(addr, rw, locality) ((void)0)
+#endif
+
+
 // ---------------------------------------------------------------- hashing
 
 inline uint64_t mix64(uint64_t x) {

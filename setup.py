@@ -34,14 +34,25 @@ class NativeLibBuild(build_ext):
 _march = os.environ.get("HUTOKEN_TPU_MARCH", "")
 _arch_flags = [f"-march={_march}"] if _march else []
 
+# Windows parity (the reference builds there too, taskqueue.h:4-8):
+# the engine is std::thread C++17 throughout, so MSVC needs only its
+# own flag spelling.  Untested on Windows in this environment; the
+# optional=True escape keeps installs working regardless.
+if os.name == "nt":  # pragma: no cover - no Windows host here
+    _compile_args = ["/O2", "/std:c++17", "/EHsc"]
+    _link_args = []
+else:
+    _compile_args = [
+        "-O3", "-std=c++17", "-funroll-loops", "-fPIC", *_arch_flags,
+    ]
+    _link_args = ["-pthread"]
+
 native_ext = Extension(
     "hutoken_tpu._native.libhutoken_host",
     sources=["native/src/hutoken_host.cpp"],
     language="c++",
-    extra_compile_args=[
-        "-O3", "-std=c++17", "-funroll-loops", "-fPIC", *_arch_flags,
-    ],
-    extra_link_args=["-pthread"],
+    extra_compile_args=_compile_args,
+    extra_link_args=_link_args,
     optional=True,  # graceful pure-Python fallback
 )
 

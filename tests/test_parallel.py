@@ -302,3 +302,43 @@ def test_distributed_bpe_string_checkpoint_resume(mesh, tmp_path):
         checkpoint_path=ck, resume=True,
     )
     assert resumed == full
+
+
+def test_distributed_bbpe_candidates_fuzz(mesh, monkeypatch):
+    """Randomized corpora through the forced-candidates path: heavy
+    ties, short shards, emptying shards — output must equal the host
+    trainer on every draw."""
+    from hutoken_tpu.parallel.train import distributed_bbpe_train
+    from hutoken_tpu.train.bbpe import bbpe_train_core
+
+    monkeypatch.setenv("HUTOKEN_TPU_TRAIN_FORCE_CANDIDATES", "1")
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        alpha = int(rng.integers(2, 7))
+        n = int(rng.integers(40, 1200))
+        corpus = bytes(
+            (97 + rng.integers(0, alpha, n)).astype(np.uint8)
+        )
+        vs = 256 + int(rng.integers(4, 60))
+        want = bbpe_train_core(corpus, vs, verbose=False)
+        got = distributed_bbpe_train(corpus, vs, mesh=mesh, verbose=False)
+        assert got == want, (trial, alpha, n, vs)
+
+
+def test_distributed_bpe_string_fuzz(mesh):
+    """Randomized corpora through the spelling-group string trainer vs
+    bpe_train_core(strict=False)."""
+    from hutoken_tpu.parallel.train import distributed_bpe_train
+    from hutoken_tpu.train.bpe import bpe_train_core
+
+    rng = np.random.default_rng(321)
+    for trial in range(3):
+        alpha = int(rng.integers(2, 6))
+        n = int(rng.integers(60, 900))
+        corpus = bytes(
+            (97 + rng.integers(0, alpha, n)).astype(np.uint8)
+        )
+        vs = 256 + int(rng.integers(4, 50))
+        want = bpe_train_core(corpus, vs, strict=False, verbose=False)
+        got = distributed_bpe_train(corpus, vs, mesh=mesh, verbose=False)
+        assert got == want, (trial, alpha, n, vs)

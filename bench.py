@@ -623,14 +623,16 @@ def main() -> None:
         help="verify sampled outputs vs the exact oracle (default on)",
     )
     parser.add_argument(
-        "--device-timeout", type=float, default=300.0,
+        "--device-timeout", type=float, default=420.0,
         help="seconds per config child (remote compiles can stall)",
     )
     parser.add_argument(
         "--budget", type=float,
-        default=float(os.environ.get("HUTOKEN_BENCH_BUDGET", "420")),
+        default=float(os.environ.get("HUTOKEN_BENCH_BUDGET", "1500")),
         help="total wall-clock budget in seconds; supplementary configs "
-        "are skipped once it runs low (the headline always runs)",
+        "are skipped once it runs low (the headline always runs, and "
+        "its line is re-printed after every config so an outer kill at "
+        "ANY moment still leaves the headline as the last line)",
     )
     parser.add_argument("--_child", default=None, help=argparse.SUPPRESS)
     args = parser.parse_args()
@@ -682,6 +684,11 @@ def main() -> None:
                 config, mb, args.check,
                 min(args.device_timeout, budget_left - 20),
             )
+            # keep the headline as the last printed line at all times:
+            # the driver records the final line of whatever output
+            # exists when its outer timeout fires
+            if headline is not None:
+                print(headline, flush=True)
 
     if headline is not None:
         print(headline, flush=True)

@@ -72,18 +72,42 @@ def main() -> None:
     n_dev = int(mesh.devices.size)
     print(f"corpus {len(corpus)/1e6:.1f} MB, {n_dev} device(s), target {vocab_size}")
 
+    def write_json(payload: dict) -> None:
+        if not args.json:
+            return
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+
+    base_payload = {
+        "metric": "distributed BBPE training throughput",
+        "backend": jax.default_backend(),
+        "devices": n_dev,
+        "corpus_mb": round(len(corpus) / 1e6, 2),
+        "corpus_seed": seed,
+    }
+
     warmup_s = 0.0
     if not args.no_warmup:
         # compile warmup on a DIFFERENT-content, same-shape corpus:
         # the jitted scan step is memoized across trainer calls
         # (parallel/train.py _SCAN_STEP_CACHE), so the timed run pays
-        # zero compile while still doing every real merge step
+        # zero compile while still doing every real merge step.  The
+        # JSON is written incrementally so an outer timeout mid-run
+        # still leaves a truthful artifact.
+        write_json({**base_payload, "status": "compiling"})
         t0 = time.perf_counter()
         distributed_bbpe_train(
             corpus_with(seed + 1), 256 + 64, mesh=mesh, verbose=False
         )
         warmup_s = time.perf_counter() - t0
         print(f"warmup (compile) {warmup_s:.1f}s")
+        write_json({
+            **base_payload,
+            "status": "warmup-complete, timed run in progress",
+            "warmup_compile_s": round(warmup_s, 1),
+        })
 
     t0 = time.perf_counter()
     str2id = distributed_bbpe_train(corpus, vocab_size, mesh=mesh, verbose=False)
@@ -93,25 +117,14 @@ def main() -> None:
         f"trained {n_merges} merges in {dt:.1f}s "
         f"({n_merges/dt:.1f} merges/s, {len(corpus)/1e6*n_merges/dt:.1f} MB*merges/s)"
     )
+    write_json({
+        **base_payload,
+        "merges": n_merges,
+        "wall_s": round(dt, 1),
+        "merges_per_s": round(n_merges / dt, 2),
+        "warmup_compile_s": round(warmup_s, 1),
+    })
     if args.json:
-        import json
-
-        with open(args.json, "w") as f:
-            json.dump(
-                {
-                    "metric": "distributed BBPE training throughput",
-                    "backend": jax.default_backend(),
-                    "devices": n_dev,
-                    "corpus_mb": round(len(corpus) / 1e6, 2),
-                    "merges": n_merges,
-                    "wall_s": round(dt, 1),
-                    "merges_per_s": round(n_merges / dt, 2),
-                    "warmup_compile_s": round(warmup_s, 1),
-                    "corpus_seed": seed,
-                },
-                f,
-                indent=1,
-            )
         print(f"wrote {args.json}")
 
 

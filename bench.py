@@ -657,16 +657,21 @@ def main() -> None:
         "small", args.mb or HEADLINE_MB, args.check,
         min(args.device_timeout, max(remaining() - 30, 60)),
     )
-    if headline is None and remaining() > 90:
-        # the remote compile service stalls intermittently; compiled
-        # shapes persist in the on-disk cache, so one retry is usually
-        # enough to get past a stall
-        headline = _spawn(
-            "small", args.mb or HEADLINE_MB, args.check,
-            min(args.device_timeout, max(remaining() - 30, 60)),
-        )
     if headline is None:
+        # print the host-engine fallback IMMEDIATELY so a headline-class
+        # line exists even if an outer kill lands during the retry; a
+        # successful device retry then supersedes it (printed later)
         headline = _host_fallback(args.mb or HEADLINE_MB)
+        if remaining() > 90:
+            # the remote compile service stalls intermittently; compiled
+            # shapes persist in the on-disk cache, so one retry is
+            # usually enough to get past a stall
+            retried = _spawn(
+                "small", args.mb or HEADLINE_MB, args.check,
+                min(args.device_timeout, max(remaining() - 30, 60)),
+            )
+            if retried is not None:
+                headline = retried
 
     if not args.quick:
         for config, mb in (

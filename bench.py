@@ -139,12 +139,10 @@ def build_unique_corpus(target_mb: float, seed: int = 1) -> list[str]:
             nrng.integers(ord("0"), ord("9") + 1, (n_words, maxl)),
             nrng.integers(ord("a"), ord("z") + 1, (n_words, maxl)),
         ).astype(np.uint8)
-        col = np.arange(maxl)[None, :]
         bodies = [
-            row[: bl].tobytes().decode()
+            row[:bl].tobytes().decode()
             for row, bl in zip(chars, body_len)
         ]
-        _ = col
         sfx = nrng.integers(0, len(hu_suffix), n_words)
         words = [
             b if k == 0 or k == 1 else (b + ".io/" if k == 2 else b + hu_suffix[s])

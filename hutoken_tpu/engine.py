@@ -1523,26 +1523,41 @@ class TpuTokenizer:
                 prefixes.add(bytes(val[:ln]))
         max_pref = max((len(p) for p in prefixes), default=0)
         lens = t.token_lens
+        values = sorted(
+            (bytes(v) for v in self.ctx.special_chars.values()),
+            key=len, reverse=True,
+        )
         decoded: list[bytes] = []
         host_only = np.zeros(V, dtype=bool)
         for i in range(V):
             s = t.token_bytes[i, : lens[i]].tobytes()
-            d = oracle.reverse_remap_nostrip(self.ctx, s)
-            decoded.append(d)
-            # truncated final char?
+            decoded.append(oracle.reverse_remap_nostrip(self.ctx, s))
+            # replay the reverse scan's EXACT position sequence (matches
+            # consume their full length, else one char step) and flag
+            # any position where the in-context scan could diverge:
+            # * the remaining suffix is a proper prefix of some value
+            #   (a LONGER match could complete across the boundary and
+            #   win longest-match), or
+            # * a char step would read past the token end.
+            # A naive char walk is not enough: a replacement value that
+            # is not char-aligned shifts the scan phase.
             p = 0
             while p < len(s):
+                rest = len(s) - p
+                if rest <= max_pref and s[p:] in prefixes:
+                    host_only[i] = True
+                    break
+                m = next(
+                    (v for v in values if s.startswith(v, p)), None
+                )
+                if m is not None:
+                    p += len(m)
+                    continue
                 cl = utf8_char_length(s[p])
                 if p + cl > len(s):
                     host_only[i] = True
                     break
                 p += cl
-            # dangling suffix that could begin a cross-boundary match?
-            if not host_only[i]:
-                for ln in range(1, min(max_pref, len(s)) + 1):
-                    if s[len(s) - ln :] in prefixes:
-                        host_only[i] = True
-                        break
         self._dec_counts = np.array(
             [len(d) for d in decoded], dtype=np.int64
         )
@@ -1743,7 +1758,16 @@ class TpuTokenizer:
         if not ok or (
             self._dec_host_only.any() and self._dec_host_only[flat].any()
         ):
-            blob_host, out_offs = self.decode_arrays(flat, doc_offs)
+            # exact host decode, then upload (still a resident blob).
+            # decode_arrays is exact via the native engine for any
+            # config, and via its numpy path only for the byte-encoder
+            # fast config — otherwise use the per-document oracle scan.
+            if self._native_split_ok or self._decode_fast:
+                blob_host, out_offs = self.decode_arrays(flat, doc_offs)
+            else:
+                blob_host, out_offs = self._decode_arrays_host_exact(
+                    flat, doc_offs
+                )
             return (
                 jnp.asarray(np.frombuffer(blob_host, dtype=np.uint8)),
                 out_offs,
@@ -1751,7 +1775,6 @@ class TpuTokenizer:
         byte_lens = self._dec_counts[flat]
         offs = np.concatenate(([0], np.cumsum(byte_lens)))
         from .ops.decode import decode_gather_blob
-        from .ops.merge import slice_prefix
 
         parts = []
         for delta_p, offs_p, _nq, tq, tbytes in self._decode_chunks(
@@ -1767,10 +1790,24 @@ class TpuTokenizer:
         if len(parts) == 1:
             blob = parts[0][0]  # padded past the real byte count
         else:
-            blob = jnp.concatenate(
-                [slice_prefix(h, tb) if tb < int(h.shape[0]) else h
-                 for h, tb in parts]
-            )
+            # stitch chunks at their exact byte offsets by writing each
+            # FULL (static-shape) chunk into a preallocated blob with a
+            # dynamic-offset update — later writes overwrite earlier
+            # chunks' tail padding, so no per-exact-length slice
+            # executable is ever compiled (slice_prefix is one compile
+            # per distinct n) and doc offsets stay exact.
+            bases = []
+            base = 0
+            for h, tb in parts:
+                bases.append(base)
+                base += tb
+            need = bases[-1] + int(parts[-1][0].shape[0])
+            size = 1 << max(need - 1, 1).bit_length()
+            from .ops.decode import write_chunk
+
+            blob = jnp.zeros((size,), jnp.uint8)
+            for (h, _tb), b in zip(parts, bases):
+                blob = write_chunk(blob, h, b)
         doc_byte_offs = offs[np.asarray(doc_offs, dtype=np.int64)]
         return blob, doc_byte_offs
 
@@ -1788,6 +1825,33 @@ class TpuTokenizer:
             blob[out_offs[i] : out_offs[i + 1]].decode("utf-8")
             for i in range(len(token_lists))
         ]
+
+    def _decode_arrays_host_exact(
+        self, flat: np.ndarray, doc_offs: np.ndarray
+    ) -> tuple[bytes, np.ndarray]:
+        """Exact array-form decode for ANY replacement set: per-document
+        oracle reverse scan over the concatenated raw spellings (the
+        numpy fast path in decode_arrays is byte-encoder-fast-config
+        only)."""
+        t = self.tables
+        flat = np.asarray(flat, dtype=np.int64)
+        rows = t.token_bytes[flat]
+        lens = t.token_lens[flat].astype(np.int64)
+        mask = (
+            np.arange(rows.shape[1], dtype=np.int32)[None, :] < lens[:, None]
+        )
+        data = rows[mask].tobytes()
+        len_cum = np.concatenate(([0], np.cumsum(lens)))
+        bounds = len_cum[np.asarray(doc_offs, dtype=np.int64)]
+        pieces: list[bytes] = []
+        out_offs = np.zeros(len(bounds), dtype=np.int64)
+        for i in range(len(bounds) - 1):
+            dec = oracle.reverse_remap_nostrip(
+                self.ctx, data[bounds[i] : bounds[i + 1]]
+            )
+            pieces.append(dec)
+            out_offs[i + 1] = out_offs[i] + len(dec)
+        return b"".join(pieces), out_offs
 
     def decode_arrays(
         self, flat: np.ndarray, doc_offs: np.ndarray

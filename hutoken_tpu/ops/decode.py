@@ -53,3 +53,14 @@ def decode_gather_blob(dec_flat, v_delta, offs, out_size: int):
     idx = v + jnp.arange(out_size, dtype=jnp.int32)
     idx = jnp.clip(idx, 0, dec_flat.shape[0] - 1)
     return dec_flat[idx]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def write_chunk(out, chunk, offset):
+    """Write a full chunk blob into ``out`` at a dynamic byte offset
+    (multi-chunk stitching for decode_arrays_device: later writes
+    overwrite earlier chunks' tail padding).  One compile per
+    (out, chunk) shape pair — both ride pow2 quantum ladders."""
+    return jax.lax.dynamic_update_slice(
+        out, chunk, (offset.astype(jnp.int32),)
+    )

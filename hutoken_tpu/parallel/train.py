@@ -228,10 +228,13 @@ def _make_shard_ops(K: int, n_dev: int, k_top: int = 1024):
         valid = (a >= 0) & (b >= 0)
         ka = jnp.where(valid, a, hi)
         kb = jnp.where(valid, b, hi)
-        gpos = jax.lax.axis_index("data").astype(jnp.int32) * n + pos
+        # positions stay shard-LOCAL int32 (a shard_idx*n+pos packing
+        # overflows int32 past 2^31 global elements — exactly the scale
+        # this path exists for); the global ordering is recovered as the
+        # lexicographic pair (owning shard, local position) at the end
         # stable two-key sort keeps positions ascending per segment, so
         # the segment-end position IS the pair's shard-last occurrence
-        sa, sb, sp = jax.lax.sort((ka, kb, gpos), num_keys=2)
+        sa, sb, sp = jax.lax.sort((ka, kb, pos), num_keys=2)
         idx = jnp.arange(n, dtype=jnp.int32)
         diff = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
         segstart = jnp.concatenate([jnp.ones((1,), bool), diff])
@@ -275,19 +278,28 @@ def _make_shard_ops(K: int, n_dev: int, k_top: int = 1024):
         f = jnp.minimum(lo, n - 1)
         hit = (da[f] == ga) & (db[f] == gb) & (ga < hi)
         cnt = jax.lax.psum(jnp.where(hit, dcnt[f], 0), "data")
-        last = jax.lax.pmax(jnp.where(hit, dlast[f], -1), "data")
+        # global last occurrence = (highest shard containing the pair,
+        # its local last position there) — compared lexicographically,
+        # overflow-free at any corpus size
+        sh = jax.lax.pmax(jnp.where(hit, didx.astype(jnp.int32), -1), "data")
+        lpos = jax.lax.pmax(
+            jnp.where(hit & (didx == sh), dlast[f], -1), "data"
+        )
         bound = jax.lax.psum(t_s, "data")
-        return ga, gb, cnt, last, bound
+        return ga, gb, cnt, sh, lpos, bound
 
-    def pick_candidates(ga, gb, cnt, last, bound):
+    def pick_candidates(ga, gb, cnt, sh, lpos, bound):
         """(id1, id2, count, ok) — the bbpe pick rule over the candidate
-        set: max count, tie-break min last-occurrence (positions are
-        distinct across distinct pairs; duplicated candidate rows carry
-        identical stats).  ``ok`` certifies exactness: either the winner
-        clears the bound or the candidate set is complete."""
+        set: max count, tie-break min last-occurrence where "last" is
+        the lexicographic (owning shard, local position) pair (distinct
+        across distinct pairs; duplicated candidate rows carry identical
+        stats).  ``ok`` certifies exactness: either the winner clears
+        the bound or the candidate set is complete."""
         m = jnp.max(cnt)
         inf = jnp.int32(0x7FFFFFFF)
-        cl = jnp.where(cnt == m, last, inf)
+        is_m = cnt == m
+        sh_min = jnp.min(jnp.where(is_m, sh, inf))
+        cl = jnp.where(is_m & (sh == sh_min), lpos, inf)
         j = jnp.argmin(cl)
         ok = (m > bound) | (bound == 0)
         return ga[j], gb[j], m, ok
@@ -550,7 +562,7 @@ def make_string_step(mesh, k_top: int = 1024):
         ops["count_candidates"],
         mesh=mesh,
         in_specs=(P("data"),),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
     )
     multi_fn = shard_map(
         ops["apply_merge_multi"],
@@ -589,16 +601,24 @@ def _group_stats(pair_stats: dict, csid2spell: list):
     return groups
 
 
+def _pick_group(groups: dict):
+    """(spelling, [count, last]) winner: max count, tie-break min last
+    occurrence.  ``last`` may be an int or a lexicographic (shard,
+    position) tuple — both order correctly."""
+    max_c = max(g[0] for g in groups.values())
+    return min(
+        ((s, g) for s, g in groups.items() if g[0] == max_c),
+        key=lambda kv: kv[1][1],
+    )
+
+
 def _host_exact_string_pick(ids_np: np.ndarray, csid2spell: list):
     """Exact global spelling-group pick on the host (fallback when the
     candidate bound cannot certify)."""
-    stream = ids_np.reshape(-1)
-    stream = stream[stream != -1]
+    stream = _global_stream(ids_np)
     if stream.shape[0] < 2:
         return None
-    a = stream[:-1].astype(np.int64)
-    b = stream[1:].astype(np.int64)
-    keys = (a << np.int64(31)) | b
+    keys = _pair_keys(stream)
     uniq, inverse, counts = np.unique(
         keys, return_inverse=True, return_counts=True
     )
@@ -609,7 +629,7 @@ def _host_exact_string_pick(ids_np: np.ndarray, csid2spell: list):
         for k, c, l in zip(uniq, counts, last_occ)
     }
     groups = _group_stats(pair_stats, csid2spell)
-    return max(groups.items(), key=lambda kv: (kv[1][0], -kv[1][1]))
+    return _pick_group(groups)
 
 
 def _host_apply_multi(
@@ -619,11 +639,8 @@ def _host_apply_multi(
     with more than MAXC compositions — pathological)."""
     from ..train.common import left_to_right_merge_mask
 
-    stream = ids_np.reshape(-1)
-    stream = stream[stream != -1]
-    a = stream[:-1].astype(np.int64)
-    b = stream[1:].astype(np.int64)
-    keys = (a << np.int64(31)) | b
+    stream = _global_stream(ids_np)
+    keys = _pair_keys(stream)
     ckeys = np.array(
         [(c1 << 31) | c2 for c1, c2 in comps], dtype=np.int64
     )
@@ -740,7 +757,15 @@ def _distributed_train_string(
                 ids, jnp.asarray(c1), jnp.asarray(c2), g
             )
         else:  # pragma: no cover - needs a >MAXC-way composable spelling
-            new_np = _host_apply_multi(np.asarray(ids), comps, g, n_dev)
+            import jax as _jax
+
+            if _jax.process_count() > 1:  # pragma: no cover - real pod
+                raise NotImplementedError(
+                    "a winning spelling with more than MAXC "
+                    "compositions requires the host merge path, which "
+                    "is single-process only"
+                )
+            new_np = _host_apply_multi(_fetch_global(ids), comps, g, n_dev)
             ids = shard_batch(mesh, jnp.asarray(new_np))
         return g
 
@@ -759,18 +784,23 @@ def _distributed_train_string(
             checkpoint_path + ".merges.tmp", checkpoint_path + ".merges"
         )
 
-    def bookkeep(win_s: bytes, win_c: int) -> None:
+    def bookkeep(win_s: bytes, win_c: int, replay: bool = False) -> None:
+        """``replay=True`` during resume: no checkpoint writes (a
+        mid-replay checkpoint would truncate the on-disk .merges log to
+        the replayed prefix, destroying durable progress) and no
+        progress prints."""
         nonlocal count, merges_since_ckpt
         merge_log.append(win_s)
-        merges_since_ckpt += 1
-        if merges_since_ckpt >= checkpoint_every:
-            merges_since_ckpt = 0
-            checkpoint()
+        if not replay:
+            merges_since_ckpt += 1
+            if merges_since_ckpt >= checkpoint_every:
+                merges_since_ckpt = 0
+                checkpoint()
         new_id = count + 1  # reference id quirk (src/bpe.c:171)
         if win_s not in str2id:
             count += 1
         str2id[win_s] = new_id
-        if verbose:
+        if verbose and not replay:
             print(
                 f"Most common pair: '{win_s.decode('utf-8', 'replace')}',"
                 f" rank: {win_c}"
@@ -790,7 +820,7 @@ def _distributed_train_string(
                 if line.startswith("s ")
             ]
         for s in replay:
-            bookkeep(s, -1)
+            bookkeep(s, -1, replay=True)
             apply_winner(s)
             prev_key = s
         merges_since_ckpt = 0
@@ -798,23 +828,25 @@ def _distributed_train_string(
             print(f"resumed {len(replay)} merges from {checkpoint_path}")
 
     while count < vocab_size:
-        ga, gb, cnt, last, bound = (
+        ga, gb, cnt, sh, lpos, bound = (
             np.asarray(x) for x in candidate_step(ids)
         )
         B = int(bound)
-        pair_stats: dict[tuple[int, int], tuple[int, int]] = {}
+        pair_stats: dict[tuple[int, int], tuple[int, tuple[int, int]]] = {}
         for j in range(ga.shape[0]):
             if ga[j] == hi or cnt[j] == 0:
                 continue
-            pair_stats[(int(ga[j]), int(gb[j]))] = (int(cnt[j]), int(last[j]))
+            # "last occurrence" is the lexicographic (shard, local pos)
+            # pair — overflow-free global ordering
+            pair_stats[(int(ga[j]), int(gb[j]))] = (
+                int(cnt[j]), (int(sh[j]), int(lpos[j]))
+            )
         if not pair_stats:
             break  # fewer than two live elements (src/bpe.c:124)
         groups = _group_stats(pair_stats, csid2spell)
-        win_s, (win_c, _win_l) = max(
-            groups.items(), key=lambda kv: (kv[1][0], -kv[1][1])
-        )
+        win_s, (win_c, _win_l) = _pick_group(groups)
         if os.environ.get("HUTOKEN_TPU_TRAIN_SELFCHECK") == "1":
-            ref = _host_exact_string_pick(np.asarray(ids), csid2spell)
+            ref = _host_exact_string_pick(_fetch_global(ids), csid2spell)
             if ref is not None and (
                 ref[0] != win_s or ref[1][0] != win_c
             ):
@@ -843,7 +875,9 @@ def _distributed_train_string(
                         safe = False
                         break
             if not safe:
-                picked = _host_exact_string_pick(np.asarray(ids), csid2spell)
+                picked = _host_exact_string_pick(
+                    _fetch_global(ids), csid2spell
+                )
                 if picked is None:
                     break
                 win_s, (win_c, _win_l) = picked
@@ -856,34 +890,63 @@ def _distributed_train_string(
     return str2id
 
 
+def _fetch_global(ids) -> np.ndarray:
+    """Materialize the full sharded array on this host.
+
+    Multi-process safe: when shards live on other hosts' devices a
+    plain np.asarray raises, so the array is allgathered first."""
+    import jax
+
+    if jax.process_count() > 1:  # pragma: no cover - needs a real pod
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(ids, tiled=True))
+    return np.asarray(ids)
+
+
+def _global_stream(ids_np: np.ndarray) -> np.ndarray:
+    """Flatten shard-major and drop -1 pads: tail pads vanish and the
+    shard streams concatenate into the exact global element stream."""
+    stream = ids_np.reshape(-1)
+    return stream[stream != -1]
+
+
+def _pair_keys(stream: np.ndarray) -> np.ndarray:
+    """Packed int64 adjacent-pair keys (ids are < 2^31, nonneg)."""
+    a = stream[:-1].astype(np.int64)
+    b = stream[1:].astype(np.int64)
+    return (a << np.int64(31)) | b
+
+
 def _host_exact_pick(ids_np: np.ndarray):
     """Exact global (id1, id2, count) bbpe pick on the host.
 
     The always-correct fallback when the candidate bound cannot certify
     a device pick (rare: very flat pair distributions mid-training).
-    ``ids_np`` is the full [D*n] device array; tail pads (-1) drop out
-    and shard streams concatenate into the exact global stream.
     """
     from ..train.common import count_pairs, first_to_reach_winner
 
-    stream = ids_np.reshape(-1)
-    stream = stream[stream != -1]
+    stream = _global_stream(ids_np)
     if stream.shape[0] < 2:
         return None
-    a = stream[:-1].astype(np.int64)
-    b = stream[1:].astype(np.int64)
-    keys = (a << np.int64(31)) | b
-    uniq, inverse, counts = count_pairs(keys)
+    uniq, inverse, counts = count_pairs(_pair_keys(stream))
     win, maxc = first_to_reach_winner(inverse, counts)
     key = int(uniq[win])
     return key >> 31, key & ((1 << 31) - 1), int(maxc)
 
 
-def _use_candidates(K: int, n_dev: int) -> bool:
+def _use_candidates(K: int, n_dev: int, n_total: int = 0) -> bool:
     """Dense K^2 histograms only for small vocabs on multi-device meshes;
     the candidate machinery covers GPT-2 scale and beyond."""
     if n_dev <= 1:
         return False
+    if K * K >= 2**31:
+        # the dense path's a*K+b int32 keys would overflow — candidates
+        # are mandatory regardless of any env override
+        return True
+    if n_total >= 2**31:
+        # the dense path's shard_idx*n+pos occ packing would overflow
+        return True
     if os.environ.get("HUTOKEN_TPU_TRAIN_FORCE_CANDIDATES") == "1":
         return True
     dense_kmax = int(os.environ.get("HUTOKEN_TPU_TRAIN_DENSE_KMAX", "4096"))
@@ -935,7 +998,7 @@ def _distributed_train(
     _enable_cache()
     K = vocab_size + id_offset + 1
     n_dev = mesh.devices.size
-    use_candidates = _use_candidates(K, n_dev)
+    use_candidates = _use_candidates(K, n_dev, n_total=len(data))
     str2id: dict[bytes, int] = {}
     id2str: dict[int, bytes] = {}
     for i in range(256):
@@ -1087,7 +1150,7 @@ def _distributed_train(
                     # uncertifiable even single-step: exact host pick
                     # (numpy over the downloaded stream), then the
                     # device applies the merge as usual
-                    picked = _host_exact_pick(np.asarray(ids))
+                    picked = _host_exact_pick(_fetch_global(ids))
                     if picked is None:
                         done = True
                         break

@@ -90,17 +90,38 @@ def main() -> None:
 
     warmup_s = 0.0
     if not args.no_warmup:
-        # compile warmup on a DIFFERENT-content, same-shape corpus:
-        # the jitted scan step is memoized across trainer calls
-        # (parallel/train.py _SCAN_STEP_CACHE), so the timed run pays
-        # zero compile while still doing every real merge step.  The
-        # JSON is written incrementally so an outer timeout mid-run
-        # still leaves a truthful artifact.
+        # compile warmup with the EXACT executable the timed run uses:
+        # same K, same shapes, different corpus content.  Calling
+        # make_scan_train_step directly guarantees a _SCAN_STEP_CACHE
+        # hit for the timed run on every path (the dense multi-device
+        # path keys by K, so warming up via a small throwaway vocab
+        # would miss there).  The JSON is written incrementally so an
+        # outer timeout mid-run still leaves a truthful artifact.
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from hutoken_tpu.parallel.mesh import shard_batch
+        from hutoken_tpu.parallel.train import (
+            _use_candidates, make_scan_train_step,
+        )
+
         write_json({**base_payload, "status": "compiling"})
         t0 = time.perf_counter()
-        distributed_bbpe_train(
-            corpus_with(seed + 1), 256 + 64, mesh=mesh, verbose=False
+        K = vocab_size + 1
+        scan_step, _f, _m = make_scan_train_step(
+            K, mesh, 2, 32,
+            use_candidates=_use_candidates(K, n_dev, len(corpus)),
         )
+        w_np = np.frombuffer(corpus_with(seed + 1), np.uint8).astype(
+            np.int32
+        )
+        pad = (-len(w_np)) % n_dev
+        if pad:
+            w_np = np.concatenate([w_np, np.full(pad, -1, np.int32)])
+        ids_w = shard_batch(mesh, jnp.asarray(w_np))
+        out = scan_step(ids_w, 256)
+        jax.block_until_ready(out[0])
         warmup_s = time.perf_counter() - t0
         print(f"warmup (compile) {warmup_s:.1f}s")
         write_json({

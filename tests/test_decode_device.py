@@ -164,3 +164,73 @@ def test_device_decode_fused_matches_bucketed_corpus(engine_ctx):
     want = [oracle.decode(ctx, ids) for ids in token_lists]
     got = engine.decode_batch_device(token_lists)
     assert got == want
+
+
+def test_straddle_detector_scan_phase():
+    """A replacement VALUE that is not UTF-8-char-aligned shifts the
+    reverse scan's phase; the straddle detector must replay the scan's
+    exact position sequence, or a straddle-capable token escapes the
+    host_only flag (round-4 review finding).  Constructed case: value
+    b'b\\xc3' ends in a UTF-8 lead byte; the token b'b\\xc3\\xc3' ends,
+    POST-match, on a bare lead byte whose char step crosses the token
+    boundary."""
+    from hutoken_tpu.context import TokenizerContext
+    from hutoken_tpu.engine import TpuTokenizer
+    from hutoken_tpu.formats import Vocab
+
+    str2id = {bytes([i]): i for i in range(256)}
+    str2id[b"b\xc3\xc3"] = 256
+    str2id[b"\xa9x"] = 257
+    id2str = {v: k for k, v in str2id.items()}
+    vocab = Vocab(str2id=str2id, id2str=id2str, size=len(str2id))
+    ctx = TokenizerContext(
+        vocab=vocab,
+        special_chars={7: b"b\xc3"},  # multi-byte, char-UNaligned value
+        is_byte_encoder=False,
+        max_special_char_len=2,
+    )
+    engine = TpuTokenizer(ctx)
+    assert engine._ensure_decode_device()
+    # id 256 spells b'b\xc3\xc3': scan matches the value at 0-1 (emits
+    # byte 7), then position 2 holds a bare 0xC3 lead byte -> the char
+    # step would read the NEXT token's first byte -> must be flagged
+    assert engine._dec_host_only[256], "phase-shifted straddle not flagged"
+    # decode of [256, 257] must equal the oracle scan over the
+    # concatenated spelling either way (host fallback path)
+    from hutoken_tpu import oracle
+
+    raw = id2str[256] + id2str[257]
+    want = oracle.reverse_remap_nostrip(ctx, raw)
+    got = engine.decode_batch_device([[256, 257]])
+    assert got[0].encode("utf-8", "surrogateescape") == want or (
+        got[0] == want.decode("utf-8", "replace")
+    )
+
+
+def test_decode_arrays_device_charmode_fallback_exact(monkeypatch):
+    """Char-mode flagged streams must take an EXACT host fallback in
+    decode_arrays_device even when the native library is unavailable
+    (the numpy decode_arrays fast path is byte-encoder-only — round-4
+    review finding)."""
+    import numpy as np
+
+    import fixture_tools as ft
+    from hutoken_tpu import oracle
+    from hutoken_tpu.context import TokenizerContext
+    from hutoken_tpu.engine import TpuTokenizer
+
+    v, s = ft.write_char_mode_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=False)
+    engine = TpuTokenizer(ctx)
+    engine._native_split_ok = False  # simulate missing .so
+    engine._ensure_decode_device()
+    # force the fallback by flagging one id that the stream uses
+    ids = oracle.encode(ctx, "gyors barna")
+    engine._dec_host_only[ids[0]] = True
+    flat = np.asarray(ids, dtype=np.int64)
+    offs = np.array([0, len(ids)], dtype=np.int64)
+    blob, boffs = engine.decode_arrays_device(flat, offs)
+    got = bytes(np.asarray(blob)[: boffs[-1]])
+    rows = [ctx.vocab.id2str[i] for i in ids]
+    want = oracle.reverse_remap_nostrip(ctx, b"".join(rows))
+    assert got == want

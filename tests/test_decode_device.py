@@ -234,3 +234,34 @@ def test_decode_arrays_device_charmode_fallback_exact(monkeypatch):
     rows = [ctx.vocab.id2str[i] for i in ids]
     want = oracle.reverse_remap_nostrip(ctx, b"".join(rows))
     assert got == want
+
+
+def test_decode_multi_chunk_stitching(engine_ctx, monkeypatch):
+    """Force tiny launch quanta so a modest stream spans several chunks:
+    covers _decode_chunks cutting, per-chunk v-delta rebasing, and the
+    write_chunk dynamic-offset stitching in decode_arrays_device."""
+    import numpy as np
+
+    engine, ctx = engine_ctx
+    monkeypatch.setattr(
+        type(engine), "DEC_N_QUANTA", (1 << 6, 1 << 8), raising=True
+    )
+    monkeypatch.setattr(
+        type(engine), "DEC_T_QUANTA", (1 << 8, 1 << 10), raising=True
+    )
+    # enough decoded bytes to clear the 16 KiB host-fill shortcut so
+    # decode_batch_device really launches (and with the tiny quanta,
+    # spans dozens of chunks)
+    token_lists = [oracle.encode(ctx, t) for t in TEXTS if t] * 120
+    want = [oracle.decode(ctx, ids) for ids in token_lists]
+    got = engine.decode_batch_device(token_lists)
+    assert got == want
+
+    flat = np.concatenate([np.asarray(t, np.int64) for t in token_lists])
+    offs = np.concatenate(
+        ([0], np.cumsum([len(t) for t in token_lists]))
+    ).astype(np.int64)
+    blob_dev, boffs = engine.decode_arrays_device(flat, offs)
+    blob = np.asarray(blob_dev).tobytes()
+    for i, w in enumerate(want):
+        assert blob[boffs[i] : boffs[i + 1]].decode("utf-8") == w

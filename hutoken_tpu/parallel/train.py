@@ -548,8 +548,15 @@ def _make_scan_train_step(
 
 
 def make_string_step(mesh, k_top: int = 1024):
-    """Jitted device ops for the spelling-group string trainer: exact
-    candidate pair stats plus the multi-composition merge."""
+    """Jitted device ops for the spelling-group string trainer.
+
+    ``string_step(ids, c1, c2, new_id)`` applies the PREVIOUS winner's
+    multi-composition merge (a no-op when ``c1`` is all -1) and counts
+    candidates for the next pick in ONE dispatch, returning the stats
+    as ONE packed int32 array — on a high-latency link (the tunneled
+    dev chip measures ~25 ms per transfer) the hot loop costs one
+    dispatch + one download per merge instead of two + six.
+    ``merge_multi_step`` stays standalone for checkpoint replay."""
     import jax
     import jax.numpy as jnp
     from jax import shard_map
@@ -558,11 +565,19 @@ def make_string_step(mesh, k_top: int = 1024):
     n_dev = mesh.devices.size
     ops = _make_shard_ops(2, n_dev, k_top=k_top)  # K unused by these ops
 
-    cand_fn = shard_map(
-        ops["count_candidates"],
+    def fused(ids, c1, c2, new_id):
+        ids = ops["apply_merge_multi"](ids, c1, c2, new_id)
+        ga, gb, cnt, sh, lpos, bound = ops["count_candidates"](ids)
+        packed = jnp.concatenate(
+            [ga, gb, cnt, sh, lpos, bound.reshape(1)]
+        )
+        return ids, packed
+
+    fused_fn = shard_map(
+        fused,
         mesh=mesh,
-        in_specs=(P("data"),),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        in_specs=(P("data"), P(), P(), P()),
+        out_specs=(P("data"), P()),
     )
     multi_fn = shard_map(
         ops["apply_merge_multi"],
@@ -572,14 +587,14 @@ def make_string_step(mesh, k_top: int = 1024):
     )
 
     @jax.jit
-    def candidate_step(ids):
-        return cand_fn(ids)
+    def string_step(ids, c1, c2, new_id):
+        return fused_fn(ids, c1, c2, jnp.asarray([new_id], jnp.int32))
 
     @jax.jit
     def merge_multi_step(ids, c1, c2, new_id):
         return multi_fn(ids, c1, c2, jnp.asarray([new_id], jnp.int32))
 
-    return candidate_step, merge_multi_step
+    return string_step, merge_multi_step
 
 
 def _group_stats(pair_stats: dict, csid2spell: list):
@@ -706,7 +721,7 @@ def _distributed_train_string(
 
     _enable_cache()
     n_dev = mesh.devices.size
-    candidate_step, merge_multi_step = make_string_step(mesh, k_top=k_top)
+    string_step, merge_multi_step = make_string_step(mesh, k_top=k_top)
 
     # vocab bookkeeping (the returned artifact, with reference quirks)
     str2id: dict[bytes, int] = {}
@@ -738,35 +753,48 @@ def _distributed_train_string(
                 out.append((u, v))
         return out
 
-    def apply_winner(win_s: bytes):
-        """csid assignment + device (or host) merge of all comps."""
-        nonlocal ids
+    def intern_winner(win_s: bytes):
+        """csid assignment; returns (csid, composition list)."""
         g = spell2csid.get(win_s)
         if g is None:
             g = len(csid2spell)
             csid2spell.append(win_s)
             spell2csid[win_s] = g
-        comps = comps_of(win_s)
+        return g, comps_of(win_s)
+
+    def comp_arrays(comps):
+        c1 = np.full(MAXC, -1, np.int32)
+        c2 = np.full(MAXC, -1, np.int32)
+        for j, (u, v) in enumerate(comps):
+            c1[j] = u
+            c2[j] = v
+        return c1, c2
+
+    def host_merge(comps, g):
+        # pragma-rare: a winning spelling with > MAXC compositions
+        nonlocal ids
+        import jax as _jax
+
+        if _jax.process_count() > 1:  # pragma: no cover - real pod
+            raise NotImplementedError(
+                "a winning spelling with more than MAXC compositions "
+                "requires the host merge path, which is single-process "
+                "only"
+            )
+        new_np = _host_apply_multi(_fetch_global(ids), comps, g, n_dev)
+        ids = shard_batch(mesh, jnp.asarray(new_np))
+
+    def apply_winner(win_s: bytes):
+        """Immediate csid assignment + merge (checkpoint replay)."""
+        nonlocal ids
+        g, comps = intern_winner(win_s)
         if len(comps) <= MAXC:
-            c1 = np.full(MAXC, -1, np.int32)
-            c2 = np.full(MAXC, -1, np.int32)
-            for j, (u, v) in enumerate(comps):
-                c1[j] = u
-                c2[j] = v
+            c1, c2 = comp_arrays(comps)
             ids = merge_multi_step(
                 ids, jnp.asarray(c1), jnp.asarray(c2), g
             )
         else:  # pragma: no cover - needs a >MAXC-way composable spelling
-            import jax as _jax
-
-            if _jax.process_count() > 1:  # pragma: no cover - real pod
-                raise NotImplementedError(
-                    "a winning spelling with more than MAXC "
-                    "compositions requires the host merge path, which "
-                    "is single-process only"
-                )
-            new_np = _host_apply_multi(_fetch_global(ids), comps, g, n_dev)
-            ids = shard_batch(mesh, jnp.asarray(new_np))
+            host_merge(comps, g)
         return g
 
     def checkpoint() -> None:
@@ -827,11 +855,28 @@ def _distributed_train_string(
         if verbose:
             print(f"resumed {len(replay)} merges from {checkpoint_path}")
 
+    # the winner's merge is DEFERRED into the next iteration's fused
+    # string_step (merge + count = one dispatch, one packed download —
+    # the hot loop previously paid 2 dispatches + 6 downloads per merge
+    # on a ~25 ms-latency link); ``pending`` holds the comps to apply
+    noc = np.full(MAXC, -1, np.int32)
+    pending: "tuple | None" = None
     while count < vocab_size:
-        ga, gb, cnt, sh, lpos, bound = (
-            np.asarray(x) for x in candidate_step(ids)
+        if pending is None:
+            c1a, c2a, gid = noc, noc, 0
+        else:
+            c1a, c2a, gid = pending
+            pending = None
+        ids, packed = string_step(
+            ids, jnp.asarray(c1a), jnp.asarray(c2a), gid
         )
-        B = int(bound)
+        arr = np.asarray(packed)
+        J = (arr.shape[0] - 1) // 5
+        ga, gb, cnt, sh, lpos = (
+            arr[0:J], arr[J : 2 * J], arr[2 * J : 3 * J],
+            arr[3 * J : 4 * J], arr[4 * J : 5 * J],
+        )
+        B = int(arr[-1])
         pair_stats: dict[tuple[int, int], tuple[int, tuple[int, int]]] = {}
         for j in range(ga.shape[0]):
             if ga[j] == hi or cnt[j] == 0:
@@ -882,7 +927,11 @@ def _distributed_train_string(
                     break
                 win_s, (win_c, _win_l) = picked
         bookkeep(win_s, win_c)
-        apply_winner(win_s)
+        g, comps = intern_winner(win_s)
+        if len(comps) <= MAXC:
+            pending = (*comp_arrays(comps), g)  # applied next iteration
+        else:  # pragma: no cover - needs a >MAXC-way composable spelling
+            host_merge(comps, g)
         if prev_key is not None and prev_key == win_s:
             break  # same spelling twice in a row (src/bpe.c:221-224)
         prev_key = win_s

@@ -458,19 +458,43 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
 
     # device-resident inputs: the engine's pipeline overlaps uploads
     # with compute, so the kernel metric measures the kernel, not the
-    # tunnel's ~25 ms per-transfer latency (reported separately below)
+    # tunnel's ~25 ms per-transfer latency (reported separately below).
+    # Two timing passes with DISTINCT inputs (the tunnel deduplicates
+    # byte-identical dispatches, so a repeat pass must mutate content);
+    # best-of-2 filters transient tunnel/VM load spikes.
+    import numpy as _np
+
     dev_blocks = [
         (jax.device_put(jnp.asarray(r)), jax.device_put(jnp.asarray(ln)), gw)
         for r, ln, gw in blocks
     ]
-    jax.block_until_ready([a for ab in dev_blocks for a in ab[:2]])
+    mut_blocks = [
+        (
+            jax.device_put(jnp.asarray(
+                _np.where(r > 0, ((r - 97 + 13) % 26 + 97), 0)
+                .astype(_np.uint8)
+            )),
+            jax.device_put(jnp.asarray(ln)),
+            gw,
+        )
+        for r, ln, gw in blocks
+    ]
+    jax.block_until_ready(
+        [a for ab in dev_blocks + mut_blocks for a in ab[:2]]
+    )
     for gw_warm in {gw for _, _, gw in dev_blocks}:
         first = next(b for b in dev_blocks if b[2] == gw_warm)
         jax.block_until_ready(launch(*first))  # compile each shape
-    t0 = time.perf_counter()
-    outs = [launch(r, ln, gw) for r, ln, gw in dev_blocks]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for blocks_pass in (dev_blocks, mut_blocks):
+        t0 = time.perf_counter()
+        outs = [launch(r, ln, gw) for r, ln, gw in blocks_pass]
+        jax.block_until_ready(outs)
+        dt_pass = time.perf_counter() - t0
+        if blocks_pass is dev_blocks:
+            outs_real = outs  # parity-checked below
+        dt = min(dt, dt_pass)
+    outs = outs_real
     kmbps = kernel_bytes / dt / 1e6
     # parity: first block's kernel output vs the exact oracle
     from hutoken_tpu import oracle as _oracle

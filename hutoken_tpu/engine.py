@@ -15,6 +15,9 @@ four-thread host pipeline):
    gather probes at GPT-2 scale, R-matrix for 100k+ vocabs), sharded
    over a ``mesh`` when one is given,
 4. DRAINER thread: device_get finished blocks while later groups split,
+   while a TAIL worker thread encodes the sub-block remainder on the
+   exact native path (overlapped with the drain; results integrate
+   through private buffers after extract),
 5. MAIN thread: native span-gather assembly of per-document streams;
    a REAPER thread releases device buffers off the hot path.
 

@@ -459,34 +459,30 @@ def _unique_extras(ctx, engine, docs, total_bytes: int) -> None:
     # device-resident inputs: the engine's pipeline overlaps uploads
     # with compute, so the kernel metric measures the kernel, not the
     # tunnel's ~25 ms per-transfer latency (reported separately below).
-    # Two timing passes with DISTINCT inputs (the tunnel deduplicates
-    # byte-identical dispatches, so a repeat pass must mutate content);
-    # best-of-2 filters transient tunnel/VM load spikes.
-    import numpy as _np
+    # Two timing passes over the SAME content in DISTINCT device
+    # buffers (distinct handles defeat the tunnel's dispatch dedup
+    # without changing the workload — content changes would alter the
+    # data-dependent merge-round count); best-of-2 filters transient
+    # tunnel/VM load spikes.
+    def upload():
+        out = [
+            (
+                jax.device_put(jnp.asarray(r)),
+                jax.device_put(jnp.asarray(ln)),
+                gw,
+            )
+            for r, ln, gw in blocks
+        ]
+        jax.block_until_ready([a for ab in out for a in ab[:2]])
+        return out
 
-    dev_blocks = [
-        (jax.device_put(jnp.asarray(r)), jax.device_put(jnp.asarray(ln)), gw)
-        for r, ln, gw in blocks
-    ]
-    mut_blocks = [
-        (
-            jax.device_put(jnp.asarray(
-                _np.where(r > 0, ((r - 97 + 13) % 26 + 97), 0)
-                .astype(_np.uint8)
-            )),
-            jax.device_put(jnp.asarray(ln)),
-            gw,
-        )
-        for r, ln, gw in blocks
-    ]
-    jax.block_until_ready(
-        [a for ab in dev_blocks + mut_blocks for a in ab[:2]]
-    )
+    dev_blocks = upload()
+    dev_blocks2 = upload()
     for gw_warm in {gw for _, _, gw in dev_blocks}:
         first = next(b for b in dev_blocks if b[2] == gw_warm)
         jax.block_until_ready(launch(*first))  # compile each shape
     dt = float("inf")
-    for blocks_pass in (dev_blocks, mut_blocks):
+    for blocks_pass in (dev_blocks, dev_blocks2):
         t0 = time.perf_counter()
         outs = [launch(r, ln, gw) for r, ln, gw in blocks_pass]
         jax.block_until_ready(outs)

@@ -1804,7 +1804,12 @@ class TpuTokenizer:
             for h, tb in parts:
                 bases.append(base)
                 base += tb
-            need = bases[-1] + int(parts[-1][0].shape[0])
+            # the blob must fit EVERY chunk's full padded write, not
+            # just the last one's: an earlier chunk's pow2 quantum can
+            # exceed the sum of real bytes after it (8x rung jumps)
+            need = max(
+                b + int(h.shape[0]) for (h, _tb), b in zip(parts, bases)
+            )
             size = 1 << max(need - 1, 1).bit_length()
             from .ops.decode import write_chunk
 

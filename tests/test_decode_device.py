@@ -265,3 +265,31 @@ def test_decode_multi_chunk_stitching(engine_ctx, monkeypatch):
     blob = np.asarray(blob_dev).tobytes()
     for i, w in enumerate(want):
         assert blob[boffs[i] : boffs[i + 1]].decode("utf-8") == w
+
+
+def test_decode_multi_chunk_blob_sizing(engine_ctx, monkeypatch):
+    """Blob sizing must fit EVERY chunk's full padded write: with big
+    ratio jumps between byte-quantum rungs, an early chunk's padded
+    shape can exceed the sum of all real bytes after it (round-4 review
+    finding — sizing from the last chunk alone crashed
+    dynamic_update_slice)."""
+    import numpy as np
+
+    engine, ctx = engine_ctx
+    monkeypatch.setattr(type(engine), "DEC_N_QUANTA", (64, 256), raising=True)
+    monkeypatch.setattr(
+        type(engine), "DEC_T_QUANTA", (256, 4096), raising=True
+    )
+    # one token repeated: chunk 0 fills the 256-token rung with ~1 KiB
+    # of bytes -> 4 KiB padded write; the tail chunk is tiny
+    tid = next(
+        int(i) for i in range(256, ctx.vocab.size)
+        if engine._dec_counts[i] >= 3
+    )
+    ids = [tid] * 300
+    want = engine._decode_batch_host([ids])[0]
+    flat = np.asarray(ids, dtype=np.int64)
+    offs = np.array([0, len(ids)], dtype=np.int64)
+    blob_dev, boffs = engine.decode_arrays_device(flat, offs)
+    got = np.asarray(blob_dev)[: boffs[-1]].tobytes().decode("utf-8")
+    assert got == want

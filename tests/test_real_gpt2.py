@@ -45,10 +45,7 @@ def real_ctx():
     special_path = os.path.join(
         ft.FIXTURE_DIR, "real-gpt2-vocab_special_chars.txt"
     )
-    ranks = {
-        tok: idx
-        for tok, idx in enc._mergeable_ranks.items()  # noqa: SLF001
-    }
+    ranks = enc._mergeable_ranks  # noqa: SLF001
     with open(vocab_path, "w", encoding="utf-8") as f:
         for token, idx in sorted(ranks.items(), key=lambda kv: kv[1]):
             spelled = ft.remapped_spelling(token).encode("utf-8")

@@ -384,6 +384,7 @@ def make_train_step(
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    _enable_cache()
     n_dev = mesh.devices.size
     ops = _make_shard_ops(K, n_dev, k_top=k_top)
     apply_merge = ops["apply_merge"]
@@ -464,6 +465,7 @@ def make_scan_train_step(
     K: int, mesh, min_merge_count: int, scan_steps: int,
     use_candidates: bool = False, k_top: int = 1024,
 ):
+    _enable_cache()  # every entry point persists/reuses compiles
     n_dev_key = mesh.devices.size
     k_key = K if (n_dev_key > 1 and not use_candidates) else -1
     key = (k_key, mesh, min_merge_count, scan_steps, use_candidates, k_top)
@@ -562,6 +564,7 @@ def make_string_step(mesh, k_top: int = 1024):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    _enable_cache()
     n_dev = mesh.devices.size
     ops = _make_shard_ops(2, n_dev, k_top=k_top)  # K unused by these ops
 

@@ -1,0 +1,263 @@
+"""Device pre-tokenizer tests (ops/split.py).
+
+Tier 1: the byte-level start rule (numpy reference) against the scalar
+parser oracle — the same golden-master pattern the reference uses for
+its parser (/root/reference/tests/test_parser.c:77-108) and the native
+SIMD splitter uses in test_native.py.
+
+Tier 2: the full fused device program (interpret mode on the CPU mesh)
+against the legacy engine, byte-for-byte.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from hutoken_tpu.ops.split import (
+    find_cut,
+    np_start_mask,
+    supported_alphabet,
+)
+from hutoken_tpu.pretokenize import split_words_scalar
+
+ALPHABETS = {
+    "ascii": "abcXYZ 019.,!?-_ \t\n",
+    "spacey": "a b  c   d\t \n  ",
+    "accents": "áéíóúőűüöÁÉÍÓÚŐÜŰÖ abc ",
+    "mixed": "ab12!? \t\náé£űhello   world..x9",
+    "dense": "a1a1!a 1!a1 ",
+}
+# '£' is U+00A3 -> 0xC2 lead: NOT in the device alphabet; keep it out of
+# the mask fuzz but in the splitter fuzz via supported_alphabet gating.
+ALPHABETS_SUPPORTED = {k: v for k, v in ALPHABETS.items() if "£" not in v}
+
+
+def starts_from_words(words: list[str]) -> np.ndarray:
+    """Byte positions where the scalar splitter's words begin."""
+    out = []
+    pos = 0
+    for w in words:
+        out.append(pos)
+        pos += len(w.encode("utf-8"))
+    return np.asarray(out, dtype=np.int64)
+
+
+@pytest.mark.parametrize("alphabet", sorted(ALPHABETS_SUPPORTED))
+def test_start_mask_matches_scalar_parser(alphabet):
+    rng = random.Random(hash(alphabet) & 0xFFFF)
+    chars = ALPHABETS_SUPPORTED[alphabet]
+    for trial in range(300):
+        s = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 60)))
+        raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if not supported_alphabet(raw):
+            continue
+        mask = np_start_mask(raw, np.zeros(1, dtype=np.int64))
+        got = np.flatnonzero(mask)
+        want = starts_from_words(split_words_scalar(s))
+        assert got.tolist() == want.tolist(), (repr(s), got, want)
+
+
+def test_start_mask_edge_cases():
+    cases = [
+        "", " ", "  ", "a", " a", "  a", "   a", "a b", "a  b",
+        "\t", "\t\t", " \t ", "a\tb", "\na", "a\n b", "ab12cd",
+        "!?!", " !?", "a!b", "1a2b", "őű ő ű", " ő", "  ő", "a ő",
+        "aő1ő", "ő!ű", " \nx", "x \ny",
+    ]
+    for s in cases:
+        raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        assert supported_alphabet(raw), repr(s)
+        mask = np_start_mask(raw, np.zeros(1, dtype=np.int64))
+        got = np.flatnonzero(mask).tolist()
+        want = starts_from_words(split_words_scalar(s)).tolist()
+        assert got == want, repr(s)
+
+
+def test_start_mask_document_reset():
+    """Words never span documents; each doc splits as if alone."""
+    docs = ["abc", " x", "  y", "1", "!", "", "q1", " ", "  "]
+    rng = random.Random(7)
+    for _ in range(200):
+        k = rng.randrange(1, 5)
+        chosen = [rng.choice(docs) for _ in range(k)]
+        blobs = [d.encode("utf-8") for d in chosen]
+        chunk = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        lens = [len(b) for b in blobs]
+        doc_starts = np.cumsum([0] + lens[:-1]).astype(np.int64)
+        mask = np_start_mask(chunk, doc_starts)
+        got = np.flatnonzero(mask).tolist()
+        want = []
+        off = 0
+        for d, ln in zip(chosen, lens):
+            want.extend(
+                (starts_from_words(split_words_scalar(d)) + off).tolist()
+            )
+            off += ln
+        assert got == want, (chosen, got, want)
+
+
+def test_supported_alphabet():
+    ok = ["abc", "őű", "áé!? 12", ""]
+    bad = ["£", "…", "😀", "naïve£"]
+    for s in ok:
+        assert supported_alphabet(
+            np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        ), repr(s)
+    for s in bad:
+        assert not supported_alphabet(
+            np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        ), repr(s)
+    # stray continuation / dangling lead bytes
+    assert not supported_alphabet(np.array([0x80], dtype=np.uint8))
+    assert not supported_alphabet(np.array([0xC3], dtype=np.uint8))
+    assert not supported_alphabet(np.array([0x41, 0xC5], dtype=np.uint8))
+
+
+def test_find_cut_is_a_true_word_start():
+    rng = random.Random(99)
+    chars = ALPHABETS["mixed"]
+    for _ in range(200):
+        s = "".join(rng.choice(chars) for _ in range(rng.randrange(4, 120)))
+        raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if not supported_alphabet(raw):
+            continue
+        p = find_cut(raw, 0, raw.shape[0])
+        if p < 0:
+            continue
+        mask = np_start_mask(raw, np.zeros(1, dtype=np.int64))
+        assert mask[p], (repr(s), p)
+        # cutting at p yields identical starts on both sides
+        left = np_start_mask(raw[:p], np.zeros(1, dtype=np.int64))
+        right = np_start_mask(raw[p:], np.zeros(1, dtype=np.int64))
+        rejoined = np.flatnonzero(left).tolist() + (
+            np.flatnonzero(right) + p
+        ).tolist()
+        assert rejoined == np.flatnonzero(mask).tolist(), repr(s)
+
+
+# ---------------------------------------------------------------- tier 2
+
+
+import fixture_tools as ft  # noqa: E402
+from hutoken_tpu import oracle  # noqa: E402
+from hutoken_tpu.context import TokenizerContext  # noqa: E402
+
+SMALL = dict(C=8192, Wcap=2048, Fcap=128, Dcap=64)
+
+
+@pytest.fixture(scope="module")
+def byte_tok():
+    import os
+
+    os.environ["HUTOKEN_TPU_PALLAS"] = "interpret"
+    try:
+        from hutoken_tpu.engine import TpuTokenizer
+
+        v, s = ft.write_byte_level_fixture()
+        ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+        tok = TpuTokenizer(ctx)
+        assert tok._pallas_tab is not None
+        yield tok
+    finally:
+        del os.environ["HUTOKEN_TPU_PALLAS"]
+
+
+def _run_raw(tok, docs, **caps):
+    from hutoken_tpu.ops.split import RawChunkEncoder
+
+    enc = RawChunkEncoder(tok, **{**SMALL, **caps})
+    blobs = [d.encode("utf-8") for d in docs]
+    chunk = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    seg_ends = np.cumsum([len(b) for b in blobs]).astype(np.int32)
+    h = enc.launch(chunk, seg_ends)
+    assert h is not None
+    res = enc.finish(h, chunk)
+    assert res is not None
+    return res
+
+
+def _expect(ctx, docs):
+    toks = [oracle.encode(ctx, d) for d in docs]
+    flat = [t for doc in toks for t in doc]
+    return flat, [len(t) for t in toks]
+
+
+def test_raw_chunk_basic(byte_tok):
+    docs = ["hello world", " leading space", "multi  space", "x"]
+    flat, counts = _expect(byte_tok.ctx, docs)
+    toks, seg = _run_raw(byte_tok, docs)
+    assert toks.tolist() == flat
+    assert seg.tolist() == counts
+
+
+def test_raw_chunk_fuzz(byte_tok):
+    rng = random.Random(31)
+    chars = "abcdefghij XY12!?\t\nőű.,"
+    for trial in range(30):
+        docs = []
+        for _ in range(rng.randrange(1, 8)):
+            n = rng.randrange(0, 200)
+            docs.append("".join(rng.choice(chars) for _ in range(n)))
+        flat, counts = _expect(byte_tok.ctx, docs)
+        toks, seg = _run_raw(byte_tok, docs)
+        assert toks.tolist() == flat, (trial, docs)
+        assert seg.tolist() == counts, (trial, docs)
+
+
+def test_raw_chunk_long_words_flagged(byte_tok):
+    """Words > 32 bytes fall to the exact host splice path."""
+    docs = [
+        "short " + "q" * 60 + " tail",
+        "w" * 33,
+        "a" * 100 + " b",
+    ]
+    flat, counts = _expect(byte_tok.ctx, docs)
+    toks, seg = _run_raw(byte_tok, docs)
+    assert toks.tolist() == flat
+    assert seg.tolist() == counts
+
+
+def test_raw_chunk_single_bytes_and_empty(byte_tok):
+    docs = ["", "\t", "\t\t\t", " ", "a", "", "\n\n"]
+    flat, counts = _expect(byte_tok.ctx, docs)
+    toks, seg = _run_raw(byte_tok, docs)
+    assert toks.tolist() == flat
+    assert seg.tolist() == counts
+
+
+def test_raw_chunk_wcap_overflow_detected(byte_tok):
+    """More words than Wcap -> finish() returns None (legacy fallback)."""
+    from hutoken_tpu.ops.split import RawChunkEncoder
+
+    enc = RawChunkEncoder(byte_tok, C=8192, Wcap=1024, Fcap=128, Dcap=64)
+    doc = "a1" * 2000  # 4000 words of 1 byte each
+    chunk = np.frombuffer(doc.encode(), dtype=np.uint8)
+    seg_ends = np.array([len(chunk)], dtype=np.int32)
+    h = enc.launch(chunk, seg_ends)
+    assert enc.finish(h, chunk) is None
+
+
+def test_raw_chunk_partial_table(monkeypatch):
+    """GPT-2-scale rules: partial pallas table + divergence splice.
+    MAX_DEPTH is forced low so the partial branch genuinely runs."""
+    monkeypatch.setenv("HUTOKEN_TPU_PALLAS", "interpret")
+    from hutoken_tpu.engine import TpuTokenizer
+    from hutoken_tpu.ops import pallas_merge as PM
+
+    monkeypatch.setattr(PM, "MAX_DEPTH", 16)
+    v, s = ft.write_big_vocab_fixture()
+    m = ft.write_big_merges_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True, merges_file_path=m)
+    tok = TpuTokenizer(ctx)
+    assert tok._pallas_tab is not None and tok._pallas_tab.partial
+    rng = random.Random(13)
+    chars = "abcdefghijklmnopqrstuvwxyz "
+    docs = [
+        "".join(rng.choice(chars) for _ in range(rng.randrange(0, 150)))
+        for _ in range(6)
+    ]
+    flat, counts = _expect(ctx, docs)
+    toks, seg = _run_raw(tok, docs)
+    assert toks.tolist() == flat
+    assert seg.tolist() == counts

@@ -75,6 +75,20 @@ except ValueError:
 if GROUP_BYTES < (64 << 10):  # degenerate groups kill pipeline overlap
     GROUP_BYTES = 64 << 10
 
+# raw TPU-resident path (ops/split.py): selected for big cache-cold
+# batches, where the legacy pipeline's per-byte host stages (split,
+# resolve, pack, extract, assemble) bound throughput while the device
+# idles.  The probe measures the corpus's intrinsic unique-byte ratio on
+# a small sample; repetitive corpora stay on the cache-driven pipeline.
+try:
+    RAW_MIN_BYTES = int(os.environ.get("HUTOKEN_TPU_RAW_MIN", 768 << 10))
+except ValueError:
+    RAW_MIN_BYTES = 768 << 10
+try:
+    RAW_THRESH = float(os.environ.get("HUTOKEN_TPU_RAW_THRESH", 0.5))
+except ValueError:
+    RAW_THRESH = 0.5
+
 
 def _enable_compilation_cache() -> None:
     """Persist XLA compilations across processes (first jit of each block
@@ -310,6 +324,10 @@ class TpuTokenizer:
         self._row_blocks = (
             ROW_BLOCKS_PALLAS if self._pallas_tab is not None else ROW_BLOCKS
         )
+        # TPU-resident raw-chunk path (ops/split.py): device split+pack
+        # for cache-cold corpora; built lazily, selected per call
+        self._raw_enc = None
+        self.stat_host_cause: dict[str, int] = {}
         self._build_decode_fast_path()
 
     def _retire(self, objs) -> None:
@@ -522,6 +540,21 @@ class TpuTokenizer:
         if self._cache_used > (1 << 26):
             self.reset_cache()
 
+        raw_env = os.environ.get("HUTOKEN_TPU_RAW", "auto")
+        if (
+            raw_env != "0"
+            and self._pallas_tab is not None
+            and self.tables.byte_seed_ids is not None
+            and self.ctx.compiled_pattern is None
+            and self.ctx.prefix is None
+            and self._mesh is None
+        ):
+            total = sum(len(t) for t in texts)
+            if raw_env == "1" or (
+                total >= RAW_MIN_BYTES and self._raw_probe(texts) >= RAW_THRESH
+            ):
+                return self._encode_core_raw(texts, timing, _time)
+
         if (
             self.ctx.compiled_pattern is None
             and self.ctx.prefix is None
@@ -718,6 +751,265 @@ class TpuTokenizer:
                 if seeds.shape[0] <= b:
                     new_ids[b].append((g, seeds))
                     break
+
+    # --------------------------------------- raw TPU-resident path
+
+    def _raw_probe(self, texts: list[str]) -> float:
+        """Intrinsic unique-byte ratio of a small corpus sample (new-word
+        bytes / sample bytes, measured with a throwaway interner so the
+        engine's warm cache doesn't skew the estimate)."""
+        budget = 256 << 10
+        sample: list[str] = []
+        stride = max(1, len(texts) // 16)
+        got = 0
+        for i in range(0, len(texts), stride):
+            t = texts[i][: 32 << 10]
+            sample.append(t)
+            got += len(t)
+            if got >= budget:
+                break
+        if not got:
+            return 0.0
+        if self._native_split_ok:
+            from .native import WordInterner
+
+            probe = WordInterner()
+            _wg, _dwo, _nb, new_len, _prev = probe.split_intern_strs(sample)
+            return float(new_len.sum()) / float(got)
+        seen: set[str] = set()
+        new_bytes = 0
+        total = 0
+        for t in sample:
+            for w in split_words(t):
+                total += len(w)
+                if w not in seen:
+                    seen.add(w)
+                    new_bytes += len(w)
+        return (new_bytes / total) if total else 0.0
+
+    def _host_encode_text(self, s: str) -> np.ndarray:
+        """Exact host encode of one text (fallback for chunks the raw
+        device program cannot serve)."""
+        ne = self._native_word_encoder()
+        if ne is not None:
+            return np.asarray(ne.encode_batch([s])[0], dtype=np.int32)
+        return np.asarray(oracle.encode(self.ctx, s), dtype=np.int32)
+
+    def _host_chunk(self, chunk: np.ndarray, seg_ends: np.ndarray):
+        parts: list[np.ndarray] = []
+        counts: list[int] = []
+        lo = 0
+        for hi in seg_ends.tolist():
+            s = chunk[lo:hi].tobytes().decode("utf-8")
+            arr = self._host_encode_text(s)
+            parts.append(arr)
+            counts.append(arr.shape[0])
+            lo = hi
+        flat = (
+            np.concatenate(parts) if parts else np.zeros(0, dtype=np.int32)
+        )
+        return flat, np.asarray(counts, dtype=np.int64)
+
+    def _encode_core_raw(self, texts: list[str], timing, _time):
+        """Cache-cold batch encode, TPU-resident end to end.
+
+        Per fixed-size byte chunk, ONE fused device program does split ->
+        pack -> greedy merge -> stream compaction (ops/split.py); the
+        host only preps chunk bytes (producer thread), launches, and
+        splices rare flagged words (drainer thread).  Replaces the
+        legacy pipeline's per-byte host stages for unique-heavy corpora
+        (reference hot path: src/parser.c:14-183 + src/core.c:339-501,
+        recast for the device instead of translated)."""
+        import os as _os
+        import queue as _queue
+        import threading
+
+        from .ops.split import RawChunkEncoder, find_cut, supported_alphabet
+
+        t0 = _time.perf_counter()
+        if self._raw_enc is None:
+            C = int(_os.environ.get("HUTOKEN_TPU_RAW_C", 1 << 20))
+            self._raw_enc = RawChunkEncoder(self, C=C)
+        enc = self._raw_enc
+        C = enc.C
+        n_docs = len(texts)
+
+        chunkq: _queue.Queue = _queue.Queue(maxsize=4)
+
+        def _producer():
+            try:
+                bufs: list[np.ndarray] = []
+                segs: list[int] = []
+                segdoc: list[int] = []
+                size = 0
+
+                def emit():
+                    nonlocal bufs, segs, segdoc, size
+                    if not size:
+                        return
+                    chunk = (
+                        np.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+                    )
+                    ok = supported_alphabet(chunk)
+                    chunkq.put(
+                        (
+                            chunk,
+                            np.asarray(segs, dtype=np.int32),
+                            np.asarray(segdoc, dtype=np.int64),
+                            ok,
+                        )
+                    )
+                    bufs, segs, segdoc, size = [], [], [], 0
+
+                for di, t in enumerate(texts):
+                    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                    nb = b.shape[0]
+                    if nb == 0:
+                        continue  # empty docs keep zero counts
+                    pos = 0
+                    while pos < nb:
+                        room = C - size
+                        take = nb - pos
+                        if take <= room:
+                            bufs.append(b[pos:])
+                            size += take
+                            segs.append(size)
+                            segdoc.append(di)
+                            pos = nb
+                            if size >= C - (C >> 4) or len(segs) >= enc.Dcap:
+                                emit()
+                            continue
+                        # cut the oversized doc at a safe word start
+                        cut = find_cut(b, pos, pos + room)
+                        if cut < 0:
+                            if size:
+                                emit()  # retry with a full chunk's room
+                                continue
+                            # a full chunk with no safe cut: degenerate
+                            # input; whole doc goes to the exact host path
+                            chunkq.put(
+                                (
+                                    b,
+                                    np.asarray([nb], dtype=np.int32),
+                                    np.asarray([di], dtype=np.int64),
+                                    False,
+                                )
+                            )
+                            pos = nb
+                            continue
+                        bufs.append(b[pos:cut])
+                        size += cut - pos
+                        segs.append(size)
+                        segdoc.append(di)
+                        pos = cut
+                        emit()
+                emit()
+                chunkq.put(None)
+            except BaseException as e:  # re-raised on the main thread
+                chunkq.put(e)
+
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+
+        # two drainer threads overlap the per-chunk round trips (meta
+        # download, token-slice dispatch + download) across chunks; the
+        # results dict restores order at assembly
+        sem = threading.BoundedSemaphore(8)
+        drainq: _queue.Queue = _queue.Queue()
+        results: dict = {}
+
+        def _drainer():
+            while True:
+                item = drainq.get()
+                if item is None:
+                    drainq.put(None)  # let the other drainer exit too
+                    return
+                idx, chunk, handles = item
+                try:
+                    if handles is None:
+                        results[idx] = None
+                    else:
+                        try:
+                            results[idx] = enc.finish(handles, chunk)
+                        finally:
+                            sem.release()
+                except BaseException as e:
+                    results[idx] = e
+
+        drainers = [
+            threading.Thread(target=_drainer, daemon=True) for _ in range(4)
+        ]
+        for d in drainers:
+            d.start()
+
+        metas: list = []
+        idx = 0
+        t_launch = 0.0
+        while True:
+            item = chunkq.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                drainq.put(None)
+                raise item
+            chunk, seg_ends, segdoc, ok = item
+            handles = None
+            tg = _time.perf_counter()
+            if ok and seg_ends.shape[0] <= enc.Dcap and chunk.shape[0] <= C:
+                sem.acquire()
+                handles = enc.launch(chunk, seg_ends)
+                if handles is None:  # pragma: no cover - Dcap pre-checked
+                    sem.release()
+            t_launch += _time.perf_counter() - tg
+            metas.append((chunk, seg_ends, segdoc))
+            drainq.put((idx, chunk, handles))
+            idx += 1
+        producer.join()
+        drainq.put(None)
+        for d in drainers:
+            d.join()
+        if timing:
+            print(
+                f"[ht-timing] raw prep+launch: {_time.perf_counter()-t0:.3f}s"
+                f" (launch {t_launch:.3f}, {idx} chunks)"
+            )
+            t0 = _time.perf_counter()
+
+        doc_counts = np.zeros(n_docs, dtype=np.int64)
+        flat_parts: list[np.ndarray] = []
+        cause = self.stat_host_cause
+        for i in range(idx):
+            res = results[i]
+            if isinstance(res, BaseException):
+                raise res
+            chunk, seg_ends, segdoc = metas[i]
+            if res is None:  # capacity overflow / unsupported alphabet
+                toks, seg_counts = self._host_chunk(chunk, seg_ends)
+                cause["raw_host_chunk"] = cause.get(
+                    "raw_host_chunk", 0
+                ) + int(chunk.shape[0])
+            else:
+                toks, seg_counts, stats = res
+                self.stat_device_bytes += stats["device_bytes"]
+                self.stat_device_words += stats["words"]
+                self.stat_flagged_words += stats["flagged_words"]
+                for k in ("over_bucket", "partial_flag"):
+                    if stats[k]:
+                        cause[k] = cause.get(k, 0) + stats[k]
+            np.add.at(doc_counts, segdoc, seg_counts)
+            flat_parts.append(toks)
+        flat = (
+            np.concatenate(flat_parts)
+            if flat_parts
+            else np.zeros(0, dtype=np.int32)
+        )
+        doc_offs = np.concatenate(
+            (np.zeros(1, dtype=np.int64), np.cumsum(doc_counts))
+        )
+        if timing:
+            print(f"[ht-timing] raw finish+assemble: "
+                  f"{_time.perf_counter()-t0:.3f}s")
+        return flat, doc_offs, [False] * n_docs
 
     def _encode_core_pipelined(self, texts: list[str], timing, _time):
         """Group-pipelined batch encode (default parser, no prefix).

@@ -254,6 +254,35 @@ def _kernel(tk_ref, tv_ref, tv2_ref, lut_ref, raw_ref, len_ref,
             debug_rounds=None):
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    blk = out_ref.shape[0]
+    shape = (blk, 128)
+
+    # all-empty tiles (padding rows of the raw-path block, ops/split.py)
+    # skip the whole fixed point + compaction: one reduction, two fills
+    has_work = jnp.any(len_ref[:] > 0)
+
+    @pl.when(jnp.logical_not(has_work))
+    def _empty_tile():
+        out_ref[:] = jnp.full(shape, -1, jnp.int32)
+        cnt_ref[:] = jnp.zeros(shape, jnp.int32)
+
+    @pl.when(has_work)
+    def _full_tile():
+        _kernel_body(
+            tk_ref, tv_ref, tv2_ref, lut_ref, raw_ref, len_ref,
+            out_ref, cnt_ref, depth=depth, group_w=group_w,
+            rank_in_val=rank_in_val, multi_ok=multi_ok,
+            debug_rounds=debug_rounds,
+        )
+
+
+def _kernel_body(tk_ref, tv_ref, tv2_ref, lut_ref, raw_ref, len_ref,
+                 out_ref, cnt_ref, *, depth, group_w, rank_in_val, multi_ok,
+                 debug_rounds=None):
+    import jax
+    import jax.numpy as jnp
 
     blk = out_ref.shape[0]
     shape = (blk, 128)
@@ -408,6 +437,197 @@ def _kernel(tk_ref, tv_ref, tv2_ref, lut_ref, raw_ref, len_ref,
     count = jnp.maximum(lens - total_holes, 0)
     out_ref[:] = jnp.where(pos < count, out, -1)
     cnt_ref[:] = count
+
+
+SEGW = 32  # max word length in the segmented layout (lanes per segment)
+
+
+def _kernel_seg(tk_ref, tv_ref, tv2_ref, lut_ref, raw_ref, aux_ref,
+                out_ref, nxt_ref, *, depth, rank_in_val, multi_ok):
+    """Segment-aware variant of the merge kernel for the windowed raw
+    layout (ops/split.py): row r of the block is chunk[r*96 : r*96+128]
+    verbatim, and each word (<= 32 bytes) lives wholly inside the row of
+    its 96-byte start window.  Words therefore sit at ARBITRARY lane
+    spans; ``aux`` encodes, per lane, pos (offset within its word, 5
+    bits), gend (the word's last lane in this row, 7 bits, = lane for
+    dead lanes) and a dead bit (bit 12).  The greedy fixed point is the
+    proven `_kernel_body` loop with the fixed-width group reductions
+    replaced by segment-relative ones; merges, consumption, linked-list
+    splices and the multi-merge safety guard are identical.  No in-kernel
+    compaction: survivors stay at their lanes (holes = -1) and the final
+    ``nxt`` links come back for the partial-table divergence probe."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    blk = out_ref.shape[0]
+    shape = (blk, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+    aux = aux_ref[:]
+    has_work = jnp.any((aux & (1 << 12)) == 0)
+
+    @pl.when(jnp.logical_not(has_work))
+    def _empty_tile():
+        out_ref[:] = jnp.full(shape, -1, jnp.int32)
+        nxt_ref[:] = lane
+
+    @pl.when(has_work)
+    def _full_tile():
+        def bcast_row(row):
+            return jax.lax.broadcast_in_dim(row, shape, (1,))
+
+        def gat(x, idx):
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        def srl(x, k):
+            return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+        pos = aux & 31
+        gend = srl(aux, 5) & 127
+        dead = (aux & (1 << 12)) != 0
+
+        raw = raw_ref[:].astype(jnp.int32)
+        lo = gat(bcast_row(lut_ref[0, 0:128]), raw & 127)
+        hi = gat(bcast_row(lut_ref[0, 128:256]), raw & 127)
+        ids0 = jnp.where(dead, -1, jnp.where(raw < 128, lo, hi))
+
+        def probe(a, b, validp):
+            # identical bucket probe to _kernel_body (see its docstring)
+            key = (a << 16) | (b & 0xFFFF)
+            h = a * jnp.int32(np.int32(np.uint32(0x85EBCA6B)))
+            h = h ^ (b * jnp.int32(np.int32(np.uint32(0xC2B2AE35))))
+            h = h ^ srl(h, 13)
+            h = h * jnp.int32(np.int32(np.uint32(0x27D4EB2F)))
+            h = h ^ srl(h, 15)
+            ln = h & 127
+            val = jnp.full(shape, -1, jnp.int32)
+            for s in range(depth):
+                kp = gat(bcast_row(tk_ref[0, s * 128:(s + 1) * 128]), ln)
+                vp = gat(bcast_row(tv_ref[0, s * 128:(s + 1) * 128]), ln)
+                val = jnp.where(kp == key, vp, val)
+            hit = (val != -1) & validp
+            merged = val & 0xFFFF
+            if rank_in_val:
+                rank = jnp.where(hit, merged, _INFS)
+                msup = srl(val, 16)
+            elif multi_ok:
+                rank = jnp.where(hit, srl(val, 16) & 0xFFFF, _INFS)
+                w = jnp.zeros(shape, jnp.int32)
+                for s in range(depth):
+                    wp = gat(
+                        bcast_row(tv2_ref[0, s * 128:(s + 1) * 128]), ln
+                    )
+                    kp = gat(
+                        bcast_row(tk_ref[0, s * 128:(s + 1) * 128]), ln
+                    )
+                    w = jnp.where(kp == key, wp, w)
+                msup = w
+            else:
+                rank = jnp.where(hit, srl(val, 16) & 0xFFFF, _INFS)
+                msup = jnp.zeros(shape, jnp.int32)
+            merged = jnp.where(hit, merged, -1)
+            return rank, merged, msup
+
+        nxt0 = jnp.where(lane < gend, lane + 1, lane)
+        prv0 = jnp.where((pos > 0) & jnp.logical_not(dead), lane - 1, lane)
+
+        def body(state):
+            ids, nxt, prv, _go = state
+            alive = ids >= 0
+            b = gat(ids, nxt)
+            validp = alive & (nxt != lane)
+            rank, merged, msup = probe(ids, b, validp)
+
+            # leftmost min-rank pair per SEGMENT: masked prefix-min of
+            # rank*SEGW+pos (pos is segment-relative, so the window
+            # never crosses a segment start), broadcast from gend
+            pkey = jnp.where(rank < _INFS, rank * SEGW + pos, _INFKEY)
+            m = pkey
+            k = 1
+            while k < SEGW:
+                sh = gat(m, jnp.maximum(lane - k, 0))
+                m = jnp.minimum(m, jnp.where(pos >= k, sh, _INFKEY))
+                k *= 2
+            gmin = gat(m, gend)
+            has = gmin < _INFKEY
+            p_ = gmin & (SEGW - 1)
+            applied = has & (pos == p_)
+
+            if multi_ok:
+                rprev = gat(rank, prv)
+                rnext = gat(rank, nxt)
+                msl = gat(msup, prv)
+                msr = gat(msup, nxt)
+                last_pair = gat(nxt, nxt) == nxt
+                first_pair = prv == lane
+                safe_l = first_pair | (
+                    (rprev < _INFS) & (rprev > rank) & (msl > rank)
+                )
+                safe_r = last_pair | (
+                    (rnext < _INFS) & (rnext > rank) & (msr > rank)
+                )
+                applied = applied | (
+                    validp & (rank < _INFS) & safe_l & safe_r
+                )
+
+            new_ids = jnp.where(applied, merged, ids)
+            applied_i = applied.astype(jnp.int32)
+            consumed = (gat(applied_i, prv) != 0) & (prv != lane)
+            new_ids = jnp.where(consumed, -1, new_ids)
+            consumed_i = consumed.astype(jnp.int32)
+            cnext = gat(consumed_i, nxt) != 0
+            nxt2 = jnp.where(cnext, gat(nxt, nxt), nxt)
+            cprev = gat(consumed_i, prv) != 0
+            prv2 = jnp.where(cprev, gat(prv, prv), prv)
+            return new_ids, nxt2, prv2, jnp.any(applied)
+
+        ids, nxt, _prv, _go = jax.lax.while_loop(
+            lambda st: st[3], body, (ids0, nxt0, prv0, jnp.bool_(True))
+        )
+        out_ref[:] = ids
+        nxt_ref[:] = nxt
+
+
+def _pallas_merge_seg_call(tk, tv, tv2, lut, raw128, aux128,
+                           *, depth, rank_in_val, multi_ok, interpret):
+    """pallas_call wrapper for the segmented kernel: raw128 uint8
+    [R, 128] (the windowed chunk view), aux128 int32 [R, 128]; returns
+    (ids [R, 128] with -1 holes, final nxt links [R, 128])."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = raw128.shape[0]
+    grid = R // ROW_TILE
+    kern = functools.partial(
+        _kernel_seg, depth=depth, rank_in_val=rank_in_val, multi_ok=multi_ok,
+    )
+    cap = depth * 128
+    tv2_w = tv2.shape[1]
+    blockspec_tile = pl.BlockSpec(
+        (ROW_TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((8, cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tv2_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            blockspec_tile,
+            blockspec_tile,
+        ],
+        out_specs=(blockspec_tile, blockspec_tile),
+        interpret=interpret,
+    )(tk, tv, tv2, lut, raw128, aux128)
 
 
 def _pallas_merge_call(tk, tv, tv2, lut, raw128, len128,

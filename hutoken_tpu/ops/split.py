@@ -246,42 +246,74 @@ def find_cut(chunk: np.ndarray, lo: int, hi: int) -> int:
 # ------------------------------------------------------------------ device
 
 
+WINDOW = 96  # bytes of chunk per block row; words (<= 32 B) starting in
+#              a row's window end within its 128 lanes by construction
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=(
-        "C", "Wcap", "Fcap", "Dcap", "depth", "rank_in_val", "multi_ok",
+        "C", "Fcap", "Dcap", "Tcap", "depth", "rank_in_val", "multi_ok",
         "partial", "probe_len", "cap_mask", "u16_out", "interpret",
     ),
 )
 def _raw_encode_chunk_jit(
-    chunk, n_valid, doc_ends, n_docs,
+    chunk, meta_in,
     tk, tv, tv2, lut, full_pkey, full_pval,
-    *, C, Wcap, Fcap, Dcap, depth, rank_in_val, multi_ok, partial,
+    *, C, Fcap, Dcap, Tcap, depth, rank_in_val, multi_ok, partial,
     probe_len, cap_mask, u16_out, interpret,
 ):
-    """The fused raw-chunk encode program (module docstring pipeline).
+    """The fused raw-chunk encode program (module docstring pipeline),
+    in the WINDOWED layout: block row r is ``chunk[r*96 : r*96+128]``
+    verbatim (two strided reshapes — no gather, no scatter, no sort), a
+    word lives in the row of its 96-byte start window (words are <= 32
+    bytes, so they always fit the row's 128 lanes, at ~75% occupancy),
+    and the segment-aware Pallas kernel (`_kernel_seg`) runs the greedy
+    fixed point in place.  Every remaining XLA op is elementwise, a
+    scan, or scales with real tokens — the formulations XLA runs at HBM
+    speed — because gathers/scatters over big domains measure a flat
+    ~130M elem/s on this hardware and would dominate otherwise.
 
-    Returns (header int32[4] = [W, T, F, 0], tokens [C] u16/int32,
-    doc_cum int32 [Dcap], frecs int32 [Fcap, 3]).
+    ``meta_in`` int32 [2 + Dcap] = [n_valid, n_docs, doc_ends...] — ONE
+    upload; returns (meta_out int32 [6 + Dcap + 3*Fcap], tokens [Tcap],
+    esc_buf u8 [Tcap + Tcap]) — ONE small download plus the sliced
+    token stream in whichever encoding the header marks cheaper.
+    meta_out layout:
 
-    * ``W`` real word count — W > Wcap means the chunk was too word-dense
-      for the static block and the host must re-encode it legacy-side,
-    * ``T`` total device tokens (prefix of ``tokens``),
-    * ``F`` flagged words; ``frecs[i] = (byte_start, byte_len,
-      token_insert_pos)`` — F > Fcap likewise invalidates the chunk,
-    * ``doc_cum[d]`` = device tokens in segments 0..d (flagged words
-      excluded; the host adds them back while splicing).
+    * [0:6] = [W, T, F, mode, H, 0]: word count (stats), total device
+      tokens (prefix length; T > Tcap = degenerate chunk, host
+      re-encodes legacy-side), flagged words (F > Fcap likewise),
+      token-stream encoding (1 = escape-coded u8, 0 = plain u16/i32),
+      escaped-token count,
+    * [6 : 6+Dcap] doc_cum: device tokens in segments 0..d (flagged
+      words excluded; the host adds them back while splicing),
+    * [6+Dcap :] frecs flattened [(byte_start, byte_len,
+      token_insert_pos), ...].
+
+    Transfers per chunk are exactly: chunk bytes + meta up, meta_out +
+    token prefix down — each extra array costs a tunnel round trip
+    (~25-170 ms under load), which dominated the pipeline before the
+    packing.
     """
-    import jax
     import jax.numpy as jnp
     from jax import lax
 
     from .merge import INF_RANK, MODE_PACKED, _probe_pairs_packed, fast_gather
-    from .pallas_merge import _pallas_merge_call
+    from .pallas_merge import _pallas_merge_seg_call
 
-    iota = lax.iota(jnp.int32, C)
+    n_valid = meta_in[0]
+    doc_ends = meta_in[2 : 2 + Dcap]
+    Rr = _round_up(-(-C // WINDOW), 256)  # block rows (ROW_TILE grid)
+    Ce = Rr * WINDOW + MAX_WORD  # extended byte domain for the reshapes
+    ext = jnp.zeros((Ce - C,), chunk.dtype)
+    chunk_e = jnp.concatenate([chunk, ext])
+    iota = lax.iota(jnp.int32, Ce)
     valid = iota < n_valid
-    b = chunk.astype(jnp.int32)
+    b = chunk_e.astype(jnp.int32)
 
     # --- context resets at segment starts (docs and chunk head)
     seg_starts = jnp.where(
@@ -289,115 +321,182 @@ def _raw_encode_chunk_jit(
         0,
         jnp.concatenate([jnp.zeros(1, jnp.int32), doc_ends[:-1]]),
     )
-    kill1 = jnp.zeros(C, jnp.bool_).at[seg_starts].set(True, mode="drop")
-    kill2 = jnp.zeros(C, jnp.bool_).at[seg_starts + 1].set(True, mode="drop")
+    kill1 = jnp.zeros(Ce, jnp.bool_).at[seg_starts].set(True, mode="drop")
+    kill2 = jnp.zeros(Ce, jnp.bool_).at[seg_starts + 1].set(True, mode="drop")
 
     start = _start_mask_any(b, kill1, kill2, valid)
 
-    # --- word index per byte; word starts by sort-compaction
-    wid = jnp.cumsum(start.astype(jnp.int32)) - 1  # [C], -1 before word 0
-    W = wid[C - 1] + 1
-    skeys = jnp.where(start, iota, n_valid)
-    skeys = lax.sort(skeys)
-    starts_ext = lax.slice(skeys, (0,), (Wcap + 1,))  # Wcap < C, checked
-    starts_w = starts_ext[:Wcap]
-    lens_full = starts_ext[1:] - starts_w  # [Wcap]; 0 for padding words
-    flag_len = lens_full > MAX_WORD
-    dev_len = jnp.where(flag_len, 0, lens_full)
-
-    # --- length-sort words (short/empty first: empty tiles cluster and
-    # the kernel's per-tile fixed point exits in local-max-length rounds)
-    wiota = lax.iota(jnp.int32, Wcap)
-    lens_sorted, sorted_wid = lax.sort((dev_len, wiota), num_keys=1)
-    # inverse permutation: sort (sorted_wid, j) by the permutation values
-    _, inv = lax.sort((sorted_wid, wiota), num_keys=1)
-
-    # --- pack rows: one 32-byte dynamic slice per sorted word
-    chunk_pad = jnp.concatenate(
-        [chunk, jnp.zeros((MAX_WORD,), chunk.dtype)]
+    # --- per-byte word geometry (scans + elementwise only)
+    ws = lax.cummax(jnp.where(start, iota, 0))  # word start of byte i
+    nstart = jnp.where(start, iota, jnp.int32(0x7FFFFFFF))
+    ns = jnp.concatenate(
+        [lax.cummin(nstart, reverse=True)[1:], jnp.full((1,), 0x7FFFFFFF,
+                                                        jnp.int32)]
     )
-    starts_sorted = fast_gather(starts_w, sorted_wid)
-    block = jax.vmap(
-        lambda s: lax.dynamic_slice(chunk_pad, (s,), (MAX_WORD,))
-    )(starts_sorted)  # [Wcap, 32] u8
+    ns = jnp.minimum(ns, n_valid)  # next word start (or corpus end)
+    wlen = ns - ws
+    long_w = wlen > MAX_WORD
+    row = ws // WINDOW  # the row owning byte i's word
+    lane = iota - row * WINDOW
+    pos = iota - ws
+    gendlane = ws + wlen - 1 - row * WINDOW  # word's last lane (<= 127)
+    owned = valid & jnp.logical_not(long_w)
+    auxval = pos | (gendlane << 5)
+    DEADAUX = jnp.int32(1 << 12)
 
-    # --- the on-chip greedy merge (ops/pallas_merge.py)
-    wpr = 128 // MAX_WORD
-    R = Wcap // wpr
-    raw128 = block.reshape(R, 128)
-    len128 = jnp.repeat(
-        lens_sorted.reshape(R, wpr), MAX_WORD, axis=1
-    )
-    out, cnt = _pallas_merge_call(
-        tk, tv, tv2, lut, raw128, len128,
-        depth=depth, group_w=MAX_WORD, rank_in_val=rank_in_val,
-        multi_ok=multi_ok, interpret=interpret,
-    )
-    out_w = out.reshape(Wcap, MAX_WORD)
-    cnt_sorted = cnt.reshape(Wcap, MAX_WORD)[:, 0]
+    def windows(per_byte, fill):
+        """[Ce] per-byte array -> [Rr, 128] block view: row r =
+        values[r*96 : r*96+128]; pure reshapes + one concat."""
+        A = per_byte[: Rr * WINDOW].reshape(Rr, WINDOW)
+        Bv = jnp.concatenate(
+            [per_byte[WINDOW : WINDOW + (Rr - 1) * WINDOW].reshape(
+                Rr - 1, WINDOW)[:, :MAX_WORD],
+             jnp.full((1, MAX_WORD), fill, per_byte.dtype)]
+        )
+        return jnp.concatenate([A, Bv], axis=1)
 
-    # --- partial-table divergence check (build_pallas_table contract):
-    # any full-table rule adjacent in the final state => host re-encode
+    # a byte is LIVE at its owning row only (A region: row == i//96;
+    # B region of row r holds bytes (r+1)*96..+31, owned iff row == r)
+    brow = iota // WINDOW
+    auxA = jnp.where(owned & (row == brow), auxval, DEADAUX)
+    auxB = jnp.where(owned & (row == brow - 1), auxval, DEADAUX)
+    aux128 = jnp.concatenate(
+        [auxA[: Rr * WINDOW].reshape(Rr, WINDOW),
+         jnp.concatenate(
+             [auxB[WINDOW : WINDOW + (Rr - 1) * WINDOW].reshape(
+                 Rr - 1, WINDOW)[:, :MAX_WORD],
+              jnp.full((1, MAX_WORD), DEADAUX, jnp.int32)]
+         )],
+        axis=1,
+    )
+    raw128 = windows(chunk_e, 0)
+
+    # --- the segment-aware on-chip greedy merge (ops/pallas_merge.py)
+    out, nxtf = _pallas_merge_seg_call(
+        tk, tv, tv2, lut, raw128, aux128,
+        depth=depth, rank_in_val=rank_in_val, multi_ok=multi_ok,
+        interpret=interpret,
+    )
+
+    lane2 = lax.broadcasted_iota(jnp.int32, (Rr, 128), 1)
+    seg_pos = aux128 & 31
+    seg_gend = lax.shift_right_logical(aux128, 5) & 127
+    seg_dead = (aux128 & (1 << 12)) != 0
+
+    # --- partial-table divergence flags (build_pallas_table contract):
+    # probe the FINAL adjacent pairs (the kernel's surviving links)
+    # against the full rule table; any hit => that word re-encodes
+    # host-side.  Segment-spread via masked lane shifts (static slices).
     if partial:
         zero = jnp.zeros(1, jnp.int32)
         full_table = (
             full_pkey, full_pval, zero, zero, probe_len, cap_mask,
             MODE_PACKED,
         )
-        rank, _m = _probe_pairs_packed(
-            full_table, out_w[:, :-1], out_w[:, 1:]
-        )
-        pflag_sorted = jnp.any(rank < INF_RANK, axis=1)
+        bpair = jnp.take_along_axis(out, nxtf, axis=1)
+        prank, _m = _probe_pairs_packed(full_table, out, bpair)
+        pflag = (out >= 0) & (nxtf != lane2) & (prank < INF_RANK)
+
+        def sh_r(x, k):  # x[.., l-k] (shift right along lanes)
+            return jnp.concatenate(
+                [jnp.zeros((Rr, k), x.dtype), x[:, :-k]], axis=1
+            )
+
+        def sh_l(x, k):  # x[.., l+k]
+            return jnp.concatenate(
+                [x[:, k:], jnp.zeros((Rr, k), x.dtype)], axis=1
+            )
+
+        acc = pflag.astype(jnp.int32)
+        k = 1
+        while k < MAX_WORD:  # forward prefix-OR within the segment
+            acc = acc | jnp.where(seg_pos >= k, sh_r(acc, k), 0)
+            k *= 2
+        k = 1
+        while k < MAX_WORD:  # suffix-MAX pulls the segment total back
+            acc = jnp.maximum(
+                acc, jnp.where(seg_gend - lane2 >= k, sh_l(acc, k), 0)
+            )
+            k *= 2
+        pflag_lane = acc != 0
     else:
-        pflag_sorted = jnp.zeros((Wcap,), jnp.bool_)
+        pflag_lane = jnp.zeros((Rr, 128), jnp.bool_)
 
-    cnt_word = fast_gather(cnt_sorted, inv)
-    flag = flag_len | fast_gather(pflag_sorted.astype(jnp.int32), inv).astype(
-        jnp.bool_
-    )
-    counts = jnp.where(flag, 0, cnt_word)  # [Wcap] word order
-
-    # --- stream compaction (corpus order): dense tokens + insert map
-    cumc = jnp.cumsum(counts)
-    wordbase = cumc - counts  # exclusive prefix
-    T = cumc[Wcap - 1]
-    marks = jnp.zeros((C,), jnp.int32).at[
-        jnp.where(counts > 0, wordbase, C)
-    ].max(wiota, mode="drop")
-    word_of_j = lax.cummax(marks)
-    # src = sorted_row(w)*32 - wordbase(w) + j, combined per word
-    combo = fast_gather(inv, word_of_j) * MAX_WORD - fast_gather(
-        wordbase, word_of_j
-    )
-    src = combo + iota
-    toks = fast_gather(out_w.reshape(-1), src)
+    # --- stream compaction: sort-compact valid lanes (row-major lane
+    # order == corpus word order), gather the survivors
+    valid_lane = (out >= 0) & jnp.logical_not(pflag_lane)
+    valid_flat = valid_lane.reshape(-1)
+    NL = Rr * 128
+    vc = jnp.cumsum(valid_flat.astype(jnp.int32))  # inclusive
+    T = vc[NL - 1]
+    liota = lax.iota(jnp.int32, NL)
+    lkeys = lax.sort(jnp.where(valid_flat, liota, NL))
+    src = jnp.minimum(lkeys[:Tcap], NL - 1)
+    tiota = lax.iota(jnp.int32, Tcap)
+    tmask = tiota < T
+    tok_i32 = jnp.where(tmask, fast_gather(out.reshape(-1), src), 0)
     out_dtype = jnp.uint16 if u16_out else jnp.int32
-    tokens = jnp.where(iota < T, toks, 0).astype(out_dtype)
+    tokens = tok_i32.astype(out_dtype)
 
-    # --- per-segment cumulative token counts
-    wend = fast_gather(wid, jnp.maximum(doc_ends - 1, 0))
+    # --- escape-coded u8 stream: 1 byte per token < 255, marker 255 +
+    # a 2-byte record for the rest.  Unmergeable-heavy corpora (token
+    # ids mostly single-byte seeds < 255) halve the d2h volume — the
+    # binding constraint on tunneled links; the host picks the cheaper
+    # of the two encodings per chunk from the header (mode/H fields).
+    Hcap = Tcap // 2
+    esc = tmask & (tok_i32 >= 255)
+    H = jnp.sum(esc.astype(jnp.int32))
+    first_u8 = jnp.where(
+        esc, 255, jnp.where(tmask, tok_i32, 0)
+    ).astype(jnp.uint8)
+    hsel = jnp.minimum(lax.sort(jnp.where(esc, tiota, Tcap))[:Hcap],
+                       Tcap - 1)
+    hval = fast_gather(tok_i32, hsel)
+    pairs_u8 = jnp.stack(
+        [hval & 0xFF, lax.shift_right_logical(hval, 8) & 0xFF], axis=1
+    ).reshape(-1).astype(jnp.uint8)
+    esc_buf = jnp.concatenate([first_u8, pairs_u8])  # [Tcap + 2*Hcap]
+    if u16_out:  # 2-byte records cannot carry ids >= 0x10000
+        mode = ((H <= Hcap) & (Tcap + 2 * H < 2 * T)).astype(jnp.int32)
+    else:
+        mode = jnp.int32(0)
+
+    # --- per-segment cumulative token counts: vc at the last byte's lane
+    p_end = jnp.maximum(doc_ends - 1, 0)
+    ws_e = fast_gather(ws, p_end)
+    row_e = ws_e // WINDOW
+    lane_e = row_e * 128 + (p_end - row_e * WINDOW)
     doc_cum = jnp.where(
-        doc_ends > 0,
-        fast_gather(wordbase, wend) + fast_gather(counts, wend),
-        0,
+        doc_ends > 0, fast_gather(vc, lane_e), 0
     ).astype(jnp.int32)
 
-    # --- flagged-word records, compacted
-    F = jnp.sum(flag.astype(jnp.int32))
-    fkeys = jnp.where(flag, wiota, Wcap)
-    fkeys = lax.sort(fkeys)
-    fidx = jnp.minimum(fkeys[:Fcap], Wcap - 1)
-    frecs = jnp.stack(
-        [
-            fast_gather(starts_w, fidx),
-            fast_gather(lens_full, fidx),
-            fast_gather(wordbase, fidx),
-        ],
-        axis=1,
-    ).astype(jnp.int32)
+    # --- flagged-word records (long words + divergent words), compacted
+    # by byte position; insert position = valid tokens before the word
+    longstart_b = start & long_w & valid
+    longstart128 = windows(longstart_b.astype(jnp.int32), 0) != 0
+    # long words own no lanes, but their start byte always falls in the
+    # A region of its own row (start lanes are < 96 by construction)
+    longstartA = (longstart128 & (lane2 < WINDOW))
+    partialstart = pflag_lane & (seg_pos == 0) & jnp.logical_not(seg_dead)
+    flagstart = longstartA | partialstart
+    fbyte = (liota // 128) * WINDOW + (liota % 128)
+    fkeys = lax.sort(jnp.where(flagstart.reshape(-1), fbyte, Ce))
+    F = jnp.sum(flagstart.astype(jnp.int32))
+    fstart = jnp.minimum(fkeys[:Fcap], Ce - 1)
+    flen = fast_gather(wlen, fstart)
+    frow = fast_gather(ws, fstart) // WINDOW
+    flane = frow * 128 + (fstart - frow * WINDOW)
+    fins = fast_gather(vc, flane) - fast_gather(
+        valid_flat.astype(jnp.int32), flane
+    )
+    frecs = jnp.stack([fstart, flen, fins], axis=1).astype(jnp.int32)
 
-    header = jnp.stack([W, T, F, jnp.int32(0)]).astype(jnp.int32)
-    return header, tokens, doc_cum, frecs
+    W = jnp.sum((start & valid).astype(jnp.int32))
+    header = jnp.stack(
+        [W, T, F, mode, H, jnp.int32(0)]
+    ).astype(jnp.int32)
+    meta_out = jnp.concatenate([header, doc_cum, frecs.reshape(-1)])
+    return meta_out, tokens, esc_buf
 
 
 class RawChunkEncoder:
@@ -409,14 +508,15 @@ class RawChunkEncoder:
     seed LUT, a Pallas table, default parser, no prefix, single device).
     """
 
-    def __init__(self, tokenizer, C: int = 1 << 20, Wcap: int = 1 << 19,
-                 Fcap: int = 4096, Dcap: int = 1 << 15):
+    def __init__(self, tokenizer, C: int = 1 << 20, Tcap: int = 0,
+                 Fcap: int = 4096, Dcap: int = 4096):
         import jax.numpy as jnp
 
-        assert Wcap % 1024 == 0  # 4 words/row * ROW_TILE rows/tile
-        assert Wcap + 1 <= C  # starts_ext slices Wcap+1 sorted keys
         self.C = C
-        self.Wcap = Wcap
+        # tokens <= device-word bytes <= C, so Tcap = C never overflows;
+        # a smaller cap saves epilogue-gather time but routes
+        # low-merge-rate chunks (T > Tcap) to the slow host fallback
+        self.Tcap = Tcap or C
         self.Fcap = Fcap
         self.Dcap = Dcap
         self.tok = tokenizer
@@ -438,6 +538,12 @@ class RawChunkEncoder:
             self._probe_len, self._cap_mask = 1, 0
         self.u16 = tokenizer._u16_out
         self.interpret = tokenizer._pallas_interpret
+        # speculative-fetch predictors (per corpus, converge in 1 chunk):
+        # launch() starts the token-stream host copy at a predicted size
+        # so finish() pays ONE transfer latency instead of two — the
+        # tunnel's ~25-170 ms round trips dominate the pipeline
+        self._pred_mode: "int | None" = None
+        self._pred_bpb = 1.1  # stream bytes per corpus byte
 
     def launch(self, chunk_np: np.ndarray, seg_ends: np.ndarray):
         """Launch one chunk (chunk_np uint8, len <= C; seg_ends int32
@@ -451,48 +557,106 @@ class RawChunkEncoder:
             return None  # caller falls back (absurd segment count)
         pad = np.zeros(self.C, dtype=np.uint8)
         pad[:n] = chunk_np
-        ends = np.full(self.Dcap, n, dtype=np.int32)
-        ends[:n_docs] = seg_ends
-        header, tokens, doc_cum, frecs = _raw_encode_chunk_jit(
-            jnp.asarray(pad), jnp.int32(n), jnp.asarray(ends),
-            jnp.int32(n_docs),
+        meta_in = np.full(2 + self.Dcap, n, dtype=np.int32)
+        meta_in[0] = n
+        meta_in[1] = n_docs
+        meta_in[2 : 2 + n_docs] = seg_ends
+        meta_out, tokens, esc_buf = _raw_encode_chunk_jit(
+            jnp.asarray(pad), jnp.asarray(meta_in),
             self._tk, self._tv, self._tv2, self._lut,
             self._fpkey, self._fpval,
-            C=self.C, Wcap=self.Wcap, Fcap=self.Fcap, Dcap=self.Dcap,
+            C=self.C, Fcap=self.Fcap, Dcap=self.Dcap, Tcap=self.Tcap,
             depth=self.tab.depth, rank_in_val=self.tab.rank_in_val,
             multi_ok=self.tab.multi_ok, partial=self.tab.partial,
             probe_len=self._probe_len, cap_mask=self._cap_mask,
             u16_out=self.u16, interpret=self.interpret,
         )
+        spec = None
+        spec_mode = self._pred_mode
+        if spec_mode is not None:
+            from .merge import slice_prefix
+
+            # coarse 256 KB rounding: each distinct slice length is its
+            # own executable, and a mid-run compile on a loaded tunnel
+            # costs seconds — coarse rounding keeps the shape set tiny
+            # and stable across chunks and runs
+            SGRAN = 1 << 18
+            est = int(n * self._pred_bpb * 1.15) + SGRAN
+            if spec_mode:
+                ne = min(-(-est // SGRAN) * SGRAN, 2 * self.Tcap)
+                spec = slice_prefix(esc_buf, ne)
+            else:
+                ne = min(-(-(est // 2) // SGRAN) * SGRAN, self.Tcap)
+                spec = slice_prefix(tokens, ne)
         try:
-            header.copy_to_host_async()
+            meta_out.copy_to_host_async()
+            if spec is not None:
+                spec.copy_to_host_async()
         except Exception:  # pragma: no cover - backends without async
             pass
-        return (header, tokens, doc_cum, frecs, n, n_docs, seg_ends)
+        return (meta_out, tokens, esc_buf, spec, spec_mode, n, n_docs,
+                seg_ends)
 
     def finish(self, handles, chunk_np: np.ndarray):
         """Sync one launch; returns (tokens int32 [T], seg_counts int64
-        [n_docs]) with flagged words spliced in, or None when the chunk
-        exceeded a static capacity and must be re-encoded legacy-side.
+        [n_docs], stats) with flagged words spliced in, or None when the
+        chunk exceeded a static capacity and must be re-encoded
+        legacy-side.  ``stats`` carries the bench's honesty counters:
+        device_bytes (bytes merged on-chip), words, flagged_words, and
+        host bytes by cause ('over_bucket' = word > 32 B,
+        'partial_flag' = divergence re-encode).
 
         ``chunk_np`` must be the same bytes passed to `launch` (flagged
         words re-encode from it on the exact host path)."""
         from .merge import slice_prefix
 
-        header, tokens, doc_cum, frecs, n, n_docs, seg_ends = handles
-        W, T, F, _ = (int(x) for x in np.asarray(header))
-        if W > self.Wcap or F > self.Fcap:
+        (meta_out, tokens, esc_buf, spec, spec_mode, n, n_docs,
+         seg_ends) = handles
+        meta = np.asarray(meta_out)
+        W, T, F, mode, H = (int(x) for x in meta[:5])
+        if T > self.Tcap or F > self.Fcap:
+            self.tok._retire((meta_out, tokens, esc_buf, spec))
             return None
         GRAN = 1 << 16
-        need = min(-(-max(T, 1) // GRAN) * GRAN, self.C)
-        toks = np.asarray(slice_prefix(tokens, need))[:T].astype(np.int32)
-        seg_cum = np.asarray(doc_cum)[:n_docs].astype(np.int64)
-        self.tok._retire((header, tokens, doc_cum))
+        blen = (self.Tcap + 2 * H) if mode else 2 * T
+        self._pred_mode = mode
+        self._pred_bpb = max(blen / max(n, 1), 0.05)
+        if mode:  # escape-coded u8 stream (marker 255 + 2-byte records)
+            need = min(-(-max(blen, 1) // GRAN) * GRAN, self.Tcap * 2)
+            if spec is not None and spec_mode == 1 and spec.shape[0] >= need:
+                buf = np.asarray(spec)
+            else:  # prediction miss: fetch the exact prefix
+                buf = np.asarray(slice_prefix(esc_buf, need))
+            toks = buf[:T].astype(np.int32)
+            escm = toks == 255
+            rec = buf[self.Tcap : self.Tcap + 2 * H]
+            if H:
+                vals = rec[0::2].astype(np.int32) | (
+                    rec[1::2].astype(np.int32) << 8
+                )
+                if vals.shape[0] != int(escm.sum()):  # pragma: no cover
+                    raise RuntimeError("escape-stream record mismatch")
+                toks[escm] = vals
+        else:
+            need = min(-(-max(T, 1) // GRAN) * GRAN, self.Tcap)
+            if spec is not None and spec_mode == 0 and spec.shape[0] >= need:
+                toks = np.asarray(spec)[:T].astype(np.int32)
+            else:
+                toks = np.asarray(slice_prefix(tokens, need))[:T].astype(
+                    np.int32
+                )
+        seg_cum = meta[6 : 6 + n_docs].astype(np.int64)
+        self.tok._retire((meta_out, tokens, esc_buf, spec))
+        stats = {
+            "device_bytes": n,
+            "words": W,
+            "flagged_words": F,
+            "over_bucket": 0,
+            "partial_flag": 0,
+        }
         if F == 0:
-            self.tok._retire(frecs)
-            return toks, np.diff(np.concatenate(([0], seg_cum)))
-        fr = np.asarray(frecs)[:F]
-        self.tok._retire(frecs)
+            return toks, np.diff(np.concatenate(([0], seg_cum))), stats
+        fr = meta[6 + self.Dcap : 6 + self.Dcap + 3 * F].reshape(F, 3)
         # splice host-encoded flagged words at their stream positions
         order = np.argsort(fr[:, 2], kind="stable")
         fr = fr[order]
@@ -511,6 +675,9 @@ class RawChunkEncoder:
             seg = int(np.searchsorted(seg_ends, bstart, side="right"))
             seg_extra[seg] += enc.shape[0]
             cursor = tpos
+            cause = "over_bucket" if blen > MAX_WORD else "partial_flag"
+            stats[cause] += int(blen)
         parts.append(toks[cursor:])
+        stats["device_bytes"] = n - stats["over_bucket"] - stats["partial_flag"]
         seg_counts = np.diff(np.concatenate(([0], seg_cum))) + seg_extra
-        return np.concatenate(parts), seg_counts
+        return np.concatenate(parts), seg_counts, stats

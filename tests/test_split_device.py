@@ -143,7 +143,7 @@ import fixture_tools as ft  # noqa: E402
 from hutoken_tpu import oracle  # noqa: E402
 from hutoken_tpu.context import TokenizerContext  # noqa: E402
 
-SMALL = dict(C=8192, Wcap=2048, Fcap=128, Dcap=64)
+SMALL = dict(C=8192, Tcap=8192, Fcap=128, Dcap=64)
 
 
 @pytest.fixture(scope="module")
@@ -174,7 +174,11 @@ def _run_raw(tok, docs, **caps):
     assert h is not None
     res = enc.finish(h, chunk)
     assert res is not None
-    return res
+    toks, seg, stats = res
+    assert stats["device_bytes"] + stats["over_bucket"] + stats[
+        "partial_flag"
+    ] == chunk.shape[0]
+    return toks, seg
 
 
 def _expect(ctx, docs):
@@ -226,12 +230,13 @@ def test_raw_chunk_single_bytes_and_empty(byte_tok):
     assert seg.tolist() == counts
 
 
-def test_raw_chunk_wcap_overflow_detected(byte_tok):
-    """More words than Wcap -> finish() returns None (legacy fallback)."""
+def test_raw_chunk_tcap_overflow_detected(byte_tok):
+    """More tokens than Tcap (degenerate all-single-byte chunk) ->
+    finish() returns None (legacy fallback)."""
     from hutoken_tpu.ops.split import RawChunkEncoder
 
-    enc = RawChunkEncoder(byte_tok, C=8192, Wcap=1024, Fcap=128, Dcap=64)
-    doc = "a1" * 2000  # 4000 words of 1 byte each
+    enc = RawChunkEncoder(byte_tok, C=8192, Tcap=1024, Fcap=128, Dcap=64)
+    doc = "a1" * 2000  # 4000 unmergeable 1-byte words
     chunk = np.frombuffer(doc.encode(), dtype=np.uint8)
     seg_ends = np.array([len(chunk)], dtype=np.int32)
     h = enc.launch(chunk, seg_ends)
@@ -261,3 +266,131 @@ def test_raw_chunk_partial_table(monkeypatch):
     toks, seg = _run_raw(tok, docs)
     assert toks.tolist() == flat
     assert seg.tolist() == counts
+
+
+# ------------------------------------------------------- engine raw path
+
+
+def _fresh_engine(monkeypatch, raw: bool):
+    monkeypatch.setenv("HUTOKEN_TPU_PALLAS", "interpret")
+    if raw:
+        monkeypatch.setenv("HUTOKEN_TPU_RAW", "1")
+        monkeypatch.setenv("HUTOKEN_TPU_RAW_C", "8192")
+    else:
+        monkeypatch.setenv("HUTOKEN_TPU_RAW", "0")
+    from hutoken_tpu.engine import TpuTokenizer
+
+    v, s = ft.write_byte_level_fixture()
+    ctx = TokenizerContext.load(v, s, is_byte_encoder=True)
+    return TpuTokenizer(ctx)
+
+
+def test_engine_raw_path_multichunk(monkeypatch):
+    """Raw path across several chunks == legacy engine == oracle,
+    including docs that straddle chunk cuts."""
+    tok = _fresh_engine(monkeypatch, raw=True)
+    rng = random.Random(77)
+    chars = "abcdefghij XY12!?\nőű.,"
+    docs = []
+    for _ in range(40):
+        n = rng.randrange(0, 1500)
+        docs.append("".join(rng.choice(chars) for _ in range(n)))
+    docs.append("big " * 4000)            # one doc > several chunks
+    docs.append("")                        # empty doc
+    docs.append("x" * 40)                  # flagged long word
+    got = tok.encode_batch(docs)
+    assert tok.stat_device_bytes > 0       # the raw path really ran
+    legacy = _fresh_engine(monkeypatch, raw=False)
+    want = legacy.encode_batch(docs)
+    assert got == want
+    for d, g in zip(docs[:10], got[:10]):
+        assert g == oracle.encode(tok.ctx, d)
+
+
+def test_engine_raw_path_unsupported_alphabet(monkeypatch):
+    """Chunks with out-of-alphabet bytes fall back to the exact host."""
+    tok = _fresh_engine(monkeypatch, raw=True)
+    docs = ["hello £ world…", "naïve 😀 text", "plain ascii"]
+    got = tok.encode_batch(docs)
+    for d, g in zip(docs, got):
+        assert g == oracle.encode(tok.ctx, d)
+
+
+def test_engine_raw_arrays_api(monkeypatch):
+    tok = _fresh_engine(monkeypatch, raw=True)
+    docs = ["alpha beta", "gamma  delta", ""]
+    flat, offs = tok.encode_batch_arrays(docs)
+    want = [oracle.encode(tok.ctx, d) for d in docs]
+    for i, w in enumerate(want):
+        assert flat[offs[i] : offs[i + 1]].tolist() == w
+
+
+def test_raw_probe_separates_corpora(monkeypatch):
+    tok = _fresh_engine(monkeypatch, raw=False)
+    rng = random.Random(5)
+    uniq = [
+        " ".join(
+            "".join(rng.choice("abcdefghijklmnop") for _ in range(8))
+            for _ in range(200)
+        )
+        for _ in range(8)
+    ]
+    rep = [("the cat sat on the mat " * 200) for _ in range(8)]
+    assert tok._raw_probe(uniq) > 0.6
+    assert tok._raw_probe(rep) < 0.2
+
+
+# --------------------------------------------------- segmented kernel
+
+
+def test_segmented_kernel_parity(byte_tok):
+    """Words at arbitrary lane spans (with dead gaps) merge exactly."""
+    import jax.numpy as jnp
+
+    from hutoken_tpu.ops.pallas_merge import (
+        ROW_TILE,
+        _pallas_merge_seg_call,
+    )
+
+    tab = byte_tok._pallas_tab
+    rng = np.random.default_rng(123)
+    R = ROW_TILE
+    letters = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyz ", dtype=np.uint8
+    )
+    raw = np.zeros((R, 128), dtype=np.uint8)
+    aux = np.full((R, 128), 1 << 12, dtype=np.int32)  # all dead
+    words = []  # (row, start_lane, bytes)
+    for r in range(R):
+        cur = 0
+        while cur < 128:
+            if rng.random() < 0.25:  # dead gap
+                cur += int(rng.integers(1, 5))
+                continue
+            ln = int(rng.integers(1, 33))
+            if cur + ln > 128:
+                break
+            wb = letters[rng.integers(0, len(letters), ln)]
+            raw[r, cur : cur + ln] = wb
+            for j in range(ln):
+                aux[r, cur + j] = j | ((cur + ln - 1) << 5)
+            words.append((r, cur, ln, wb.tobytes()))
+            cur += ln
+    # dead lanes: gend = own lane so nxt0 self-points
+    lanes = np.arange(128, dtype=np.int32)[None, :]
+    deadm = (aux & (1 << 12)) != 0
+    aux = np.where(deadm, (1 << 12) | (lanes << 5), aux)
+    out, _nxt = _pallas_merge_seg_call(
+        jnp.asarray(tab.tk), jnp.asarray(tab.tv), jnp.asarray(tab.tv2),
+        jnp.asarray(tab.lut), jnp.asarray(raw), jnp.asarray(aux),
+        depth=tab.depth, rank_in_val=tab.rank_in_val,
+        multi_ok=tab.multi_ok, interpret=True,
+    )
+    out = np.asarray(out)
+    for r, cur, ln, wb in words:
+        span = out[r, cur : cur + ln]
+        got = span[span >= 0].tolist()
+        exp = oracle.encode_word(byte_tok.ctx, wb, None)
+        assert got == exp, (r, cur, wb, got, exp)
+    # dead lanes stay holes
+    assert (out[np.asarray(deadm)] == -1).all()

@@ -55,6 +55,83 @@ def decode_gather_blob(dec_flat, v_delta, offs, out_size: int):
     return dec_flat[idx]
 
 
+@functools.partial(jax.jit, static_argnames=("out_size", "ld"))
+def decode_tokens_blob(dec_flat, counts, toks, n_valid, out_size: int,
+                       ld: int):
+    """One-launch decode from RAW token ids: the per-token byte-length
+    gather, offset cumsum and v-delta construction all run on device,
+    so the host uploads ONLY the (u16/i32) token stream — no numpy
+    length gather, no cumsum, no 8-byte-per-token delta/offset upload.
+    (VERDICT r4 #4: that host prep was the 10x gap between the fused
+    kernel's measured rate and the serving path's e2e rate.)
+
+    ``counts`` int32 [V] per-id decoded byte counts; ``toks`` [N]
+    padded token ids with ``n_valid`` real entries; ``ld`` the decoded
+    table's row stride.  Same output contract as `decode_gather_blob`.
+    """
+    from .merge import fast_gather
+
+    N = toks.shape[0]
+    ids = toks.astype(jnp.int32)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    valid = iota < n_valid
+    lens = jnp.where(valid, fast_gather(counts, ids), 0)
+    cum = jnp.cumsum(lens)
+    offs = cum - lens
+    v = ids * ld - offs
+    vprev = jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
+    delta = jnp.where(valid, v - vprev, 0)
+    offs_p = jnp.where(valid, offs, out_size)  # pad entries drop
+    acc = jnp.zeros((out_size,), jnp.int32).at[offs_p].add(
+        delta, mode="drop"
+    )
+    vb = jnp.cumsum(acc)
+    idx = vb + jnp.arange(out_size, dtype=jnp.int32)
+    idx = jnp.clip(idx, 0, dec_flat.shape[0] - 1)
+    return dec_flat[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "ld"))
+def decode_tokens_blob_tot(dec_flat, counts, toks, n_valid, doc_local,
+                           out_size: int, ld: int):
+    """`decode_tokens_blob` + the serving path's remaining host needs
+    computed on device: returns (blob, aux int32 [1 + Dq]) where
+    aux[0] = the chunk's REAL byte total (the host validates it against
+    ``out_size`` after the fact — launches use a predicted quantum) and
+    aux[1:] = byte offsets of the doc boundaries listed in
+    ``doc_local`` (token indices local to this chunk; 0-padded).  With
+    these on device, decode_arrays_device uploads token ids and doc
+    boundaries and downloads nothing per chunk — the blob stays
+    resident and one aggregate aux fetch ends the batch."""
+    from .merge import fast_gather
+
+    N = toks.shape[0]
+    ids = toks.astype(jnp.int32)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    valid = iota < n_valid
+    lens = jnp.where(valid, fast_gather(counts, ids), 0)
+    cum = jnp.cumsum(lens)
+    total = cum[N - 1]
+    offs = cum - lens
+    v = ids * ld - offs
+    vprev = jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
+    delta = jnp.where(valid, v - vprev, 0)
+    offs_p = jnp.where(valid, offs, out_size)
+    acc = jnp.zeros((out_size,), jnp.int32).at[offs_p].add(
+        delta, mode="drop"
+    )
+    vb = jnp.cumsum(acc)
+    idx = vb + jnp.arange(out_size, dtype=jnp.int32)
+    idx = jnp.clip(idx, 0, dec_flat.shape[0] - 1)
+    docb = jnp.where(
+        doc_local > 0,
+        fast_gather(cum, jnp.maximum(doc_local - 1, 0)),
+        0,
+    )
+    aux = jnp.concatenate([total.reshape(1), docb]).astype(jnp.int32)
+    return dec_flat[idx], aux
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def write_chunk(out, chunk, offset):
     """Write a full chunk blob into ``out`` at a dynamic byte offset

@@ -600,6 +600,66 @@ def make_string_step(mesh, k_top: int = 1024):
     return string_step, merge_multi_step
 
 
+# scan-driver telemetry (tests + bench notes): chunks dispatched, fully
+# committed chunks, divergent sub-steps (rollback + exact re-run), and
+# certification fallbacks to the exact host pick
+STRING_SCAN_STATS = {"chunks": 0, "committed": 0, "divergent": 0,
+                     "exact_picks": 0}
+
+
+def make_string_scan_step(mesh, S: int, k_top: int = 1024):
+    """S-merge-per-dispatch SPECULATIVE step for the string trainer.
+
+    Each scan sub-step counts candidates, applies the plain PAIR pick
+    (max count, min last occurrence) with csid ``start + i``, and emits
+    its full candidate stats.  The host then validates every sub-step
+    against the exact spelling-group semantics (src/bpe.c:130-165): the
+    group winner must equal the device's pair, have exactly that one
+    live composition, be a NEW spelling, and clear the Fagin bound.
+    Measured on real corpora the group pick and the pair pick coincide
+    on ~100% of steps (multi-composition groups are rare early in
+    training), so the hot loop pays one dispatch + one packed download
+    per S merges; any divergent step rolls back to the chunk-start ids
+    and re-runs exactly (`_distributed_train_string`)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    _enable_cache()
+    n_dev = mesh.devices.size
+    ops = _make_shard_ops(2, n_dev, k_top=k_top)
+
+    def chunk(ids, start_csid):
+        def body(carry, i):
+            ids = carry
+            ga, gb, cnt, sh, lpos, bound = ops["count_candidates"](ids)
+            id1, id2, c, _ok = ops["pick_candidates"](
+                ga, gb, cnt, sh, lpos, bound
+            )
+            merged = ops["apply_merge"](ids, id1, id2, start_csid[0] + i)
+            ids = jnp.where(c > 0, merged, ids)
+            step_out = jnp.concatenate(
+                [ga, gb, cnt, sh, lpos, jnp.stack([bound, id1, id2, c])]
+            )
+            return ids, step_out
+        ids, outs = jax.lax.scan(
+            body, ids, jnp.arange(S, dtype=jnp.int32)
+        )
+        return ids, outs
+
+    chunk_fn = shard_map(
+        chunk, mesh=mesh, in_specs=(P("data"), P()),
+        out_specs=(P("data"), P()),
+    )
+
+    @jax.jit
+    def scan_fn(ids, start_csid):
+        return chunk_fn(ids, jnp.asarray([start_csid], jnp.int32))
+
+    return scan_fn
+
+
 def _group_stats(pair_stats: dict, csid2spell: list):
     """Aggregate exact per-pair stats into per-spelling groups.
 
@@ -857,6 +917,130 @@ def _distributed_train_string(
         merges_since_ckpt = 0
         if verbose:
             print(f"resumed {len(replay)} merges from {checkpoint_path}")
+
+    # ---- scan-batched speculative driver (default): S merges per
+    # dispatch with host-side exact validation and rollback (see
+    # make_string_scan_step).  HUTOKEN_TPU_STRING_SCAN=0 selects the
+    # proven per-merge loop below.
+    sv = os.environ.get("HUTOKEN_TPU_STRING_SCAN", "16")
+    try:
+        S = max(int(sv), 0)
+    except ValueError:
+        S = 16
+    if S > 1:
+        scan_fn = make_string_scan_step(mesh, S, k_top=k_top)
+
+        def parse_step(row):
+            Jv = (row.shape[0] - 4) // 5
+            ga, gb, cnt = row[0:Jv], row[Jv : 2 * Jv], row[2 * Jv : 3 * Jv]
+            sh, lpos = row[3 * Jv : 4 * Jv], row[4 * Jv : 5 * Jv]
+            B = int(row[5 * Jv])
+            dev_pair = (int(row[5 * Jv + 1]), int(row[5 * Jv + 2]))
+            ps: dict = {}
+            for j in range(Jv):
+                if ga[j] == hi or cnt[j] == 0:
+                    continue
+                ps[(int(ga[j]), int(gb[j]))] = (
+                    int(cnt[j]), (int(sh[j]), int(lpos[j]))
+                )
+            return ps, B, dev_pair
+
+        stop_all = False
+        while count < vocab_size and not stop_all:
+            cs_start = len(csid2spell)
+            saved = ids
+            STRING_SCAN_STATS["chunks"] += 1
+            ids2, packed = scan_fn(ids, cs_start)
+            arr = np.asarray(packed)
+            n_valid = 0
+            applied: list[tuple[int, int]] = []
+            divergent: "tuple | None" = None
+            for i in range(arr.shape[0]):
+                if count >= vocab_size:
+                    break
+                ps, B, dev_pair = parse_step(arr[i])
+                if not ps:
+                    stop_all = True  # < two live elements (src/bpe.c:124)
+                    break
+                groups = _group_stats(ps, csid2spell)
+                win_s, (win_c, _wl) = _pick_group(groups)
+                safe = True
+                if B > 0:
+                    L = max(len(s) for s in spell2csid)
+                    safe = win_c > (2 * L - 1) * B
+                    if safe:
+                        for s, (cc, _l) in groups.items():
+                            if s == win_s:
+                                continue
+                            missing = sum(
+                                1 for comp in comps_of(s) if comp not in ps
+                            )
+                            if win_c <= cc + missing * B:
+                                safe = False
+                                break
+                if not safe:
+                    divergent = ("exact", None)
+                    break
+                comps = comps_of(win_s)
+                if (
+                    win_s in spell2csid
+                    or len(comps) != 1
+                    or comps[0] != dev_pair
+                ):
+                    # group semantics diverge from the device's pair
+                    # speculation (multi-composition winner, different
+                    # group winner, or a duplicate-spelling re-win)
+                    divergent = ("apply", (win_s, win_c))
+                    break
+                bookkeep(win_s, win_c)
+                intern_winner(win_s)  # assigns csid cs_start + i
+                applied.append(dev_pair)
+                n_valid += 1
+                if prev_key is not None and prev_key == win_s:
+                    stop_all = True  # repeat stop (src/bpe.c:221-224)
+                    break
+                prev_key = win_s
+            else:
+                ids = ids2  # every sub-step validated: commit the chunk
+                STRING_SCAN_STATS["committed"] += 1
+                continue
+            if stop_all or count >= vocab_size:
+                break
+            # rollback to the chunk start, replay the validated prefix
+            # (each a verified single-composition merge), then run the
+            # divergent step exactly
+            ids = saved
+            for j in range(n_valid):
+                c1, c2 = comp_arrays([applied[j]])
+                ids = merge_multi_step(
+                    ids, jnp.asarray(c1), jnp.asarray(c2), cs_start + j
+                )
+            kind, data = divergent
+            STRING_SCAN_STATS["divergent"] += 1
+            if kind == "exact":
+                STRING_SCAN_STATS["exact_picks"] += 1
+                picked = _host_exact_string_pick(
+                    _fetch_global(ids), csid2spell
+                )
+                if picked is None:
+                    break
+                win_s, (win_c, _wl) = picked
+            else:
+                win_s, win_c = data
+            bookkeep(win_s, win_c)
+            g, comps = intern_winner(win_s)
+            if len(comps) <= MAXC:
+                c1, c2 = comp_arrays(comps)
+                ids = merge_multi_step(
+                    ids, jnp.asarray(c1), jnp.asarray(c2), g
+                )
+            else:  # pragma: no cover - needs a >MAXC-way spelling
+                host_merge(comps, g)
+            if prev_key is not None and prev_key == win_s:
+                break
+            prev_key = win_s
+        checkpoint()
+        return str2id
 
     # the winner's merge is DEFERRED into the next iteration's fused
     # string_step (merge + count = one dispatch, one packed download —

@@ -28,6 +28,11 @@ def main() -> None:
     parser.add_argument("--cpu", action="store_true", help="force CPU mesh")
     parser.add_argument("--json", default=None, help="write results JSON")
     parser.add_argument(
+        "--mode", default="bbpe", choices=("bbpe", "string"),
+        help="bbpe (id-keyed, the scaled workload) or string "
+        "(spelling-group-keyed, scan-batched speculative driver)",
+    )
+    parser.add_argument(
         "--seed", type=int, default=None,
         help="corpus seed; default time-salted so repeated runs can "
         "never be served from any result-dedup layer",
@@ -52,7 +57,9 @@ def main() -> None:
 
     from bench import build_corpus
     from hutoken_tpu.parallel.mesh import data_mesh
-    from hutoken_tpu.parallel.train import distributed_bbpe_train
+    from hutoken_tpu.parallel.train import (
+        distributed_bbpe_train, distributed_bpe_train,
+    )
 
     # time-salted seed: the corpus content differs per run, so neither
     # a caching transport layer (the tunneled backend deduplicates
@@ -81,7 +88,12 @@ def main() -> None:
             json.dump(payload, f, indent=1)
 
     base_payload = {
-        "metric": "distributed BBPE training throughput",
+        "metric": (
+            "distributed BBPE training throughput"
+            if args.mode == "bbpe"
+            else "distributed string (spelling-group) training throughput"
+        ),
+        "mode": args.mode,
         "backend": jax.default_backend(),
         "devices": n_dev,
         "corpus_mb": round(len(corpus) / 1e6, 2),
@@ -108,11 +120,6 @@ def main() -> None:
 
         write_json({**base_payload, "status": "compiling"})
         t0 = time.perf_counter()
-        K = vocab_size + 1
-        scan_step, _f, _m = make_scan_train_step(
-            K, mesh, 2, 32,
-            use_candidates=_use_candidates(K, n_dev, len(corpus)),
-        )
         w_np = np.frombuffer(corpus_with(seed + 1), np.uint8).astype(
             np.int32
         )
@@ -120,7 +127,19 @@ def main() -> None:
         if pad:
             w_np = np.concatenate([w_np, np.full(pad, -1, np.int32)])
         ids_w = shard_batch(mesh, jnp.asarray(w_np))
-        out = scan_step(ids_w, 256)
+        if args.mode == "string":
+            from hutoken_tpu.parallel.train import make_string_scan_step
+
+            sv = os.environ.get("HUTOKEN_TPU_STRING_SCAN", "16")
+            scan_fn = make_string_scan_step(mesh, max(int(sv), 2))
+            out = scan_fn(ids_w, 256)
+        else:
+            K = vocab_size + 1
+            scan_step, _f, _m = make_scan_train_step(
+                K, mesh, 2, 32,
+                use_candidates=_use_candidates(K, n_dev, len(corpus)),
+            )
+            out = scan_step(ids_w, 256)
         jax.block_until_ready(out[0])
         warmup_s = time.perf_counter() - t0
         print(f"warmup (compile) {warmup_s:.1f}s")
@@ -131,7 +150,11 @@ def main() -> None:
         })
 
     t0 = time.perf_counter()
-    str2id = distributed_bbpe_train(corpus, vocab_size, mesh=mesh, verbose=False)
+    train_fn = (
+        distributed_bpe_train if args.mode == "string"
+        else distributed_bbpe_train
+    )
+    str2id = train_fn(corpus, vocab_size, mesh=mesh, verbose=False)
     dt = time.perf_counter() - t0
     n_merges = len([1 for v in str2id.values() if v >= 256])
     print(

@@ -84,3 +84,92 @@ def test_multihost_initialize_and_train():
         },
     )
     assert "MULTIHOST-OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
+
+
+_CHILD2 = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import sys
+sys.path.insert(0, {repo!r})
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from hutoken_tpu.parallel.multihost import (
+    global_data_mesh, initialize_distributed,
+)
+
+pid = {pid}
+initialize_distributed({addr!r}, 2, pid)
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+mesh = global_data_mesh()
+assert mesh.devices.size == 8, mesh
+
+from hutoken_tpu.parallel.train import (
+    distributed_bbpe_train, distributed_bpe_train,
+)
+
+corpus = b"ababab the cat sat on the mat dog nap " * 16
+got = distributed_bbpe_train(corpus, 270, mesh=mesh, verbose=False)
+gots = distributed_bpe_train(corpus, 268, mesh=mesh, verbose=False)
+if pid == 0:
+    from hutoken_tpu.train.bbpe import bbpe_train_core
+    from hutoken_tpu.train.bpe import bpe_train_core
+
+    want = bbpe_train_core(corpus, 270, verbose=False)
+    assert got == want, "bbpe parity"
+    wants = bpe_train_core(corpus, 268, strict=False, verbose=False)
+    assert gots == wants, "string parity"
+    print("MULTIHOST2-OK")
+else:
+    print("WORKER-OK")
+"""
+
+
+def test_multihost_two_processes():
+    """A GENUINELY multi-process pod: coordinator + worker, 4 virtual
+    CPU devices each, one 8-device global mesh.  Distributed bbpe AND
+    the scan-batched string trainer must reproduce the host trainers
+    byte-for-byte across cross-process collectives (psum/pmax/
+    all_gather over DCN-path channels the 1-process case never takes)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    addr = f"localhost:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
+    }
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-c",
+                _CHILD2.format(repo=repo, addr=addr, pid=pid),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    assert outs[0][0] == 0 and "MULTIHOST2-OK" in outs[0][1], (
+        outs[0][1], outs[0][2][-2000:]
+    )
+    assert outs[1][0] == 0 and "WORKER-OK" in outs[1][1], (
+        outs[1][1], outs[1][2][-2000:]
+    )

@@ -58,7 +58,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 
 HEADLINE_MB = 24.0
 BIG_MB = 24.0
-UNIQUE_MB = 4.0
+UNIQUE_MB = 8.0  # 2+ full 4 MB raw chunks so the stream pipeline engages
 BASELINE = 100.0
 
 

@@ -828,7 +828,11 @@ class TpuTokenizer:
 
         t0 = _time.perf_counter()
         if self._raw_enc is None:
-            C = int(_os.environ.get("HUTOKEN_TPU_RAW_C", 1 << 20))
+            # 4 MB chunks: ~20 ms of the program cost is per-dispatch
+            # (sorts ramp, fixed launches), so bigger chunks are
+            # strictly cheaper per byte until HBM pressure; measured
+            # 47.6 -> 27.0 ms/MB going 1 MB -> 4 MB on-chip
+            C = int(_os.environ.get("HUTOKEN_TPU_RAW_C", 1 << 22))
             self._raw_enc = RawChunkEncoder(self, C=C)
         enc = self._raw_enc
         C = enc.C

@@ -17,13 +17,19 @@ word cache cannot help) never pays per-byte host work:
          partial-table divergence) -- their token counts drop to zero and
          compact (byte-range, insert-position) records come back for the
          host's exact scalar re-encode
-      6. stream compaction to ONE dense token array in corpus order +
+      6. stream compaction via one payload sort (mode-selected keys) +
          per-document cumulative token counts
-    --d2h--> header(4 ints) + uint16 token stream (+ tiny flag records)
+    --d2h--> header + the cheapest of four stream encodings per chunk:
+         plain u16/i32, escape-coded u8, bit-packed (ceil(log2 V))
+         bits/token), or sparse merge records -- the last downloads
+         ONLY multi-byte tokens (~6 B each) and the host rebuilds every
+         single-byte token from the chunk bytes it already holds via
+         the byte->seed LUT, cutting cache-cold d2h to ~0.3 B per
+         corpus byte on the bandwidth-starved tunnel
 
 The host keeps only: UTF-8 corpus prep, safe chunk-cut selection, the
-supported-alphabet precheck, and splicing of flagged words -- all O(1)
-passes with numpy, no per-word Python.
+supported-alphabet precheck, sparse-stream reconstruction, and splicing
+of flagged words -- all O(1) passes with numpy, no per-word Python.
 
 Byte-level start rule (derivation in native/src/hutoken_host.cpp:361-430;
 classes A alpha / D digit / O other / W space 0x20 / S = {\t\n\v\f\r,
@@ -258,14 +264,15 @@ def _round_up(x: int, m: int) -> int:
     __import__("jax").jit,
     static_argnames=(
         "C", "Fcap", "Dcap", "Tcap", "depth", "rank_in_val", "multi_ok",
-        "partial", "probe_len", "cap_mask", "u16_out", "interpret",
+        "partial", "probe_len", "cap_mask", "u16_out", "pack_bits",
+        "interpret",
     ),
 )
 def _raw_encode_chunk_jit(
     chunk, meta_in,
     tk, tv, tv2, lut, full_pkey, full_pval,
     *, C, Fcap, Dcap, Tcap, depth, rank_in_val, multi_ok, partial,
-    probe_len, cap_mask, u16_out, interpret,
+    probe_len, cap_mask, u16_out, pack_bits, interpret,
 ):
     """The fused raw-chunk encode program (module docstring pipeline),
     in the WINDOWED layout: block row r is ``chunk[r*96 : r*96+128]``
@@ -279,16 +286,21 @@ def _raw_encode_chunk_jit(
     ~130M elem/s on this hardware and would dominate otherwise.
 
     ``meta_in`` int32 [2 + Dcap] = [n_valid, n_docs, doc_ends...] — ONE
-    upload; returns (meta_out int32 [6 + Dcap + 3*Fcap], tokens [Tcap],
-    esc_buf u8 [Tcap + Tcap]) — ONE small download plus the sliced
-    token stream in whichever encoding the header marks cheaper.
-    meta_out layout:
+    upload; returns (meta_out int32 [6 + Dcap + 3*Fcap], tokens [Tcap]
+    u16/i32, first_u8 [Tcap], pairs_u8 [2*Hcap], pack_buf u8
+    [pack_bits * Tcap/8], mrec_pos i32 [Mcap], mrec_id u16/i32 [Mcap])
+    — ONE small download plus
+    exact prefix slices of whichever stream encoding the header marks
+    cheapest (mode 0 = plain, 1 = escape-coded, 2 = bit-packed, 3 =
+    sparse merge records; singles reconstructed host-side from the
+    chunk bytes).  meta_out layout:
 
     * [0:6] = [W, T, F, mode, H, 0]: word count (stats), total device
       tokens (prefix length; T > Tcap = degenerate chunk, host
       re-encodes legacy-side), flagged words (F > Fcap likewise),
-      token-stream encoding (1 = escape-coded u8, 0 = plain u16/i32),
-      escaped-token count,
+      token-stream encoding (0 = plain u16/i32, 1 = escape-coded u8,
+      2 = bit-packed, 3 = sparse merge records), escaped-token count,
+      multi-byte-token count,
     * [6 : 6+Dcap] doc_cum: device tokens in segments 0..d (flagged
       words excluded; the host adds them back while splicing),
     * [6+Dcap :] frecs flattened [(byte_start, byte_len,
@@ -422,44 +434,180 @@ def _raw_encode_chunk_jit(
     else:
         pflag_lane = jnp.zeros((Rr, 128), jnp.bool_)
 
-    # --- stream compaction: sort-compact valid lanes (row-major lane
-    # order == corpus word order), gather the survivors
+    # --- flagged-word start lanes (long words + divergent words); must
+    # precede the compaction sort, which carries them as a key class
+    longstart_b = start & long_w & valid
+    longstart128 = windows(longstart_b.astype(jnp.int32), 0) != 0
+    # long words own no lanes, but their start byte always falls in the
+    # A region of its own row (start lanes are < 96 by construction)
+    longstartA = (longstart128 & (lane2 < WINDOW))
+    partialstart = pflag_lane & (seg_pos == 0) & jnp.logical_not(seg_dead)
+    flagstart = longstartA | partialstart
+
+    # --- per-lane token geometry: a live lane's token spans the bytes
+    # up to the next live lane in its row, clamped to its word end (the
+    # kernel's final nxt pointers are NOT usable here: a merge that
+    # consumes the segment tail leaves the survivor pointing at the
+    # hole).  Next-live is a per-row reverse cummin — as cheap as the
+    # row scans below.  Multi-byte tokens are the only ones the host
+    # cannot reconstruct from the chunk bytes it already holds — the
+    # basis of the sparse stream (mode 3).
     valid_lane = (out >= 0) & jnp.logical_not(pflag_lane)
-    valid_flat = valid_lane.reshape(-1)
+    live = out >= 0
+    lane_inf = jnp.where(live, lane2, jnp.int32(1 << 20))
+    nli = jnp.flip(
+        lax.cummin(jnp.flip(lane_inf, axis=1), axis=1), axis=1
+    )
+    nli = jnp.concatenate(
+        [nli[:, 1:], jnp.full((Rr, 1), 1 << 20, jnp.int32)], axis=1
+    )
+    span = jnp.minimum(nli, seg_gend + 1) - lane2
+    merged_lane = valid_lane & (span > 1)
+
+    # inclusive prefix counts of valid lanes via the 2-level form (a
+    # 128-wide row scan + a tiny row-offset scan); XLA's 1-D cumsum over
+    # NL lowers to a far slower log-pass ladder
+    rowc = jnp.cumsum(valid_lane.astype(jnp.int32), axis=1)
+    rowtot = rowc[:, 127]
+    rowoff_inc = jnp.cumsum(rowtot)
+    vc = (rowc + (rowoff_inc - rowtot)[:, None]).reshape(-1)
+    T = rowoff_inc[Rr - 1]
+
+    # --- stream-mode selection BEFORE the sort (all counts are cheap
+    # reductions), so one payload sort serves every mode via runtime-
+    # selected keys.  Exact d2h volumes:
+    #   mode 0: plain u16/i32 tokens           2|4 bytes * T
+    #   mode 1: escape-coded u8 (u16 only)     T + 2*H
+    #   mode 2: bit-packed                     pack_bits * ceil(T/8)
+    #   mode 3: sparse merge records           8 * M   (singles rebuilt
+    #           host-side from the chunk bytes via the byte->seed LUT)
+    Mcap = max(Tcap // 16, 1 << 15)
+    H = jnp.sum((valid_lane & (out >= 255)).astype(jnp.int32))
+    M = jnp.sum(merged_lane.astype(jnp.int32))
+    Hcap = Tcap // 2
+    tok_w = 2 if u16_out else 4
+    INFV = jnp.int32(0x7FFFFFFF)
+    vol0 = tok_w * T
+    vol1 = jnp.where(u16_out & (H <= Hcap), T + 2 * H, INFV)
+    vol2 = pack_bits * ((T + 7) // 8) if pack_bits else INFV
+    vol3 = jnp.where(M <= Mcap, 8 * M, INFV)
+    best12 = jnp.minimum(jnp.where(vol2 <= vol1, vol2, vol1), vol0)
+    mode = jnp.where(
+        vol3 < best12,
+        3,
+        jnp.where(
+            (vol2 < vol0) & (vol2 <= vol1),
+            2,
+            jnp.where(vol1 < vol0, 1, 0),
+        ),
+    ).astype(jnp.int32)
+
+    # --- ONE payload sort over all lanes, keys selected by mode.
+    # Dense modes (0-2): valid -> lane, flag start -> NL + lane, dead ->
+    # 2*NL + lane, so the first T payloads are the token stream and
+    # [T, T+F) are the flag starts.  Sparse mode 3: merged -> lane,
+    # flag -> NL + lane, rest -> 2*NL + lane, so [0, M) are the merge
+    # records and [M, M+F) the flag starts.  Row-major lane order ==
+    # corpus byte order in both (a start lane's byte is (l//128)*96 +
+    # l%128, monotone in l because start columns are < 96).  Replaces
+    # the previous three global key sorts + Tcap-sized gather — the
+    # epilogue was ~2.3x slower that way (measured on-chip, C=4MB).
     NL = Rr * 128
-    vc = jnp.cumsum(valid_flat.astype(jnp.int32))  # inclusive
-    T = vc[NL - 1]
+    first_flat = jnp.where(
+        mode == 3, merged_lane, valid_lane
+    ).reshape(-1)
+    flag_flat = flagstart.reshape(-1)
     liota = lax.iota(jnp.int32, NL)
-    lkeys = lax.sort(jnp.where(valid_flat, liota, NL))
-    src = jnp.minimum(lkeys[:Tcap], NL - 1)
+    skeys = jnp.where(
+        first_flat, liota, jnp.where(flag_flat, NL + liota, 2 * NL + liota)
+    )
+    skeys_s, toks_sorted = lax.sort((skeys, out.reshape(-1)), num_keys=1)
+
     tiota = lax.iota(jnp.int32, Tcap)
     tmask = tiota < T
-    tok_i32 = jnp.where(tmask, fast_gather(out.reshape(-1), src), 0)
+    tok_i32 = jnp.where(tmask, toks_sorted[:Tcap], 0)
     out_dtype = jnp.uint16 if u16_out else jnp.int32
     tokens = tok_i32.astype(out_dtype)
 
-    # --- escape-coded u8 stream: 1 byte per token < 255, marker 255 +
-    # a 2-byte record for the rest.  Unmergeable-heavy corpora (token
-    # ids mostly single-byte seeds < 255) halve the d2h volume — the
-    # binding constraint on tunneled links; the host picks the cheaper
-    # of the two encodings per chunk from the header (mode/H fields).
-    Hcap = Tcap // 2
-    esc = tmask & (tok_i32 >= 255)
-    H = jnp.sum(esc.astype(jnp.int32))
-    first_u8 = jnp.where(
-        esc, 255, jnp.where(tmask, tok_i32, 0)
-    ).astype(jnp.uint8)
-    hsel = jnp.minimum(lax.sort(jnp.where(esc, tiota, Tcap))[:Hcap],
-                       Tcap - 1)
-    hval = fast_gather(tok_i32, hsel)
-    pairs_u8 = jnp.stack(
-        [hval & 0xFF, lax.shift_right_logical(hval, 8) & 0xFF], axis=1
-    ).reshape(-1).astype(jnp.uint8)
-    esc_buf = jnp.concatenate([first_u8, pairs_u8])  # [Tcap + 2*Hcap]
-    if u16_out:  # 2-byte records cannot carry ids >= 0x10000
-        mode = ((H <= Hcap) & (Tcap + 2 * H < 2 * T)).astype(jnp.int32)
-    else:
-        mode = jnp.int32(0)
+    # --- sparse merge records (mode 3): [Mcap, 2] i32 of
+    # (byte_pos | span << 24, token id) straight off the sort prefix —
+    # one Mcap-sized gather for the spans, no second sort.  Gated by
+    # lax.cond so dense chunks never pay the gathers.
+    def _mrecs_live(args):
+        skeys_s, toks_sorted, span_f = args
+        mlane = jnp.clip(skeys_s[:Mcap], 0, NL - 1)
+        mpos = (mlane // 128) * WINDOW + (mlane % 128)
+        mspan = fast_gather(span_f, mlane)
+        return (
+            (mpos | (mspan << 24)).astype(jnp.int32),
+            toks_sorted[:Mcap].astype(out_dtype),
+        )
+
+    mrec_pos, mrec_id = lax.cond(
+        mode == 3,
+        _mrecs_live,
+        lambda args: (
+            jnp.zeros(Mcap, jnp.int32),
+            jnp.zeros(Mcap, out_dtype),
+        ),
+        (skeys_s, toks_sorted, span.reshape(-1)),
+    )
+
+    # --- dense stream encodings, gated off entirely for sparse chunks
+    # (their Tcap-sized sort/stack work would be pure waste there):
+    #
+    # mode 1, escape-coded u8: 1 byte per token < 255, marker 255 + a
+    # 2-byte record for the rest — unmergeable-heavy corpora with high
+    # seed ids halve the d2h volume vs u16.  H was counted order-free
+    # before the sort.
+    #
+    # mode 2, bit-packed: ceil(log2(vocab)) bits per token, groups of 8
+    # tokens -> pack_bits bytes, pure elementwise (each output byte
+    # spans <= 2 tokens because pack_bits >= 9) — B/16 of the u16
+    # volume for a vocab needing B bits.
+    def _dense_live(tok_i32):
+        esc = tmask & (tok_i32 >= 255)
+        first_u8 = jnp.where(
+            esc, 255, jnp.where(tmask, tok_i32, 0)
+        ).astype(jnp.uint8)
+        hkeys = jnp.where(esc, tiota, Tcap + tiota)
+        _hk, hval_sorted = lax.sort((hkeys, tok_i32), num_keys=1)
+        hval = hval_sorted[:Hcap]
+        pairs_u8 = jnp.stack(
+            [hval & 0xFF, lax.shift_right_logical(hval, 8) & 0xFF],
+            axis=1,
+        ).reshape(-1).astype(jnp.uint8)  # [2*Hcap]
+        if pack_bits:
+            B = pack_bits
+            Gn = Tcap // 8
+            tg = tok_i32[: Gn * 8].reshape(Gn, 8)
+            cols = []
+            for j in range(B):
+                k0 = (8 * j) // B
+                s0 = 8 * j - B * k0
+                v = lax.shift_right_logical(tg[:, k0], s0)
+                if B - s0 < 8 and k0 + 1 < 8:
+                    v = v | (tg[:, k0 + 1] << (B - s0))
+                cols.append(v)
+            pack_buf = jnp.stack(cols, axis=1).reshape(-1).astype(
+                jnp.uint8
+            )
+        else:
+            pack_buf = jnp.zeros(8, jnp.uint8)
+        return first_u8, pairs_u8, pack_buf
+
+    first_u8, pairs_u8, pack_buf = lax.cond(
+        mode != 3,
+        _dense_live,
+        lambda _t: (
+            jnp.zeros(Tcap, jnp.uint8),
+            jnp.zeros(2 * Hcap, jnp.uint8),
+            jnp.zeros(
+                (Tcap // 8) * pack_bits if pack_bits else 8, jnp.uint8
+            ),
+        ),
+        tok_i32,
+    )
 
     # --- per-segment cumulative token counts: vc at the last byte's lane
     p_end = jnp.maximum(doc_ends - 1, 0)
@@ -470,33 +618,26 @@ def _raw_encode_chunk_jit(
         doc_ends > 0, fast_gather(vc, lane_e), 0
     ).astype(jnp.int32)
 
-    # --- flagged-word records (long words + divergent words), compacted
-    # by byte position; insert position = valid tokens before the word
-    longstart_b = start & long_w & valid
-    longstart128 = windows(longstart_b.astype(jnp.int32), 0) != 0
-    # long words own no lanes, but their start byte always falls in the
-    # A region of its own row (start lanes are < 96 by construction)
-    longstartA = (longstart128 & (lane2 < WINDOW))
-    partialstart = pflag_lane & (seg_pos == 0) & jnp.logical_not(seg_dead)
-    flagstart = longstartA | partialstart
-    fbyte = (liota // 128) * WINDOW + (liota % 128)
-    fkeys = lax.sort(jnp.where(flagstart.reshape(-1), fbyte, Ce))
-    F = jnp.sum(flagstart.astype(jnp.int32))
-    fstart = jnp.minimum(fkeys[:Fcap], Ce - 1)
-    flen = fast_gather(wlen, fstart)
-    frow = fast_gather(ws, fstart) // WINDOW
-    flane = frow * 128 + (fstart - frow * WINDOW)
-    fins = fast_gather(vc, flane) - fast_gather(
-        valid_flat.astype(jnp.int32), flane
+    # --- flagged-word records from the sort's middle key class (it
+    # starts at M in sparse mode, T otherwise); insert position = valid
+    # tokens before the word (flag lanes are never valid, so the
+    # inclusive vc at the lane is exactly that count)
+    F = jnp.sum(flag_flat.astype(jnp.int32))
+    fbase = jnp.where(mode == 3, M, T)
+    fpos = jnp.minimum(fbase + lax.iota(jnp.int32, Fcap), NL - 1)
+    flane = jnp.clip(fast_gather(skeys_s, fpos) - NL, 0, NL - 1)
+    fstart = jnp.minimum(
+        (flane // 128) * WINDOW + (flane % 128), Ce - 1
     )
+    flen = fast_gather(wlen, fstart)
+    fins = fast_gather(vc, flane)
     frecs = jnp.stack([fstart, flen, fins], axis=1).astype(jnp.int32)
 
     W = jnp.sum((start & valid).astype(jnp.int32))
-    header = jnp.stack(
-        [W, T, F, mode, H, jnp.int32(0)]
-    ).astype(jnp.int32)
+    header = jnp.stack([W, T, F, mode, H, M]).astype(jnp.int32)
     meta_out = jnp.concatenate([header, doc_cum, frecs.reshape(-1)])
-    return meta_out, tokens, esc_buf
+    return (meta_out, tokens, first_u8, pairs_u8, pack_buf, mrec_pos,
+            mrec_id)
 
 
 class RawChunkEncoder:
@@ -538,12 +679,25 @@ class RawChunkEncoder:
             self._probe_len, self._cap_mask = 1, 0
         self.u16 = tokenizer._u16_out
         self.interpret = tokenizer._pallas_interpret
+        # bit-packed stream width: B = bits to carry any vocab id (>= 9
+        # so each packed byte spans <= 2 tokens; B == 16 is exactly the
+        # u16 stream, so packing is disabled there)
+        V = int(tokenizer.tables.vocab_size)
+        B = max((max(V - 1, 1)).bit_length(), 9)
+        self.pack_bits = B if (B <= 24 and B != 16) else 0
+        self.Mcap = max(self.Tcap // 16, 1 << 15)
+        # host-side byte -> seed-id LUT for the sparse stream (mode 3):
+        # every chunk byte outside a merged span or flagged word is a
+        # seed token the host rebuilds for free
+        self._lut_host = np.asarray(tab.lut[0], dtype=np.int32)
         # speculative-fetch predictors (per corpus, converge in 1 chunk):
-        # launch() starts the token-stream host copy at a predicted size
-        # so finish() pays ONE transfer latency instead of two — the
+        # launch() starts the stream host copy at a predicted size so
+        # finish() pays ONE transfer latency instead of two — the
         # tunnel's ~25-170 ms round trips dominate the pipeline
         self._pred_mode: "int | None" = None
-        self._pred_bpb = 1.1  # stream bytes per corpus byte
+        self._pred_tpb = 0.8  # device tokens per corpus byte
+        self._pred_hr = 0.6   # escaped fraction of device tokens
+        self._pred_mr = 0.1   # multi-byte tokens per corpus byte
 
     def launch(self, chunk_np: np.ndarray, seg_ends: np.ndarray):
         """Launch one chunk (chunk_np uint8, len <= C; seg_ends int32
@@ -561,41 +715,68 @@ class RawChunkEncoder:
         meta_in[0] = n
         meta_in[1] = n_docs
         meta_in[2 : 2 + n_docs] = seg_ends
-        meta_out, tokens, esc_buf = _raw_encode_chunk_jit(
-            jnp.asarray(pad), jnp.asarray(meta_in),
-            self._tk, self._tv, self._tv2, self._lut,
-            self._fpkey, self._fpval,
-            C=self.C, Fcap=self.Fcap, Dcap=self.Dcap, Tcap=self.Tcap,
-            depth=self.tab.depth, rank_in_val=self.tab.rank_in_val,
-            multi_ok=self.tab.multi_ok, partial=self.tab.partial,
-            probe_len=self._probe_len, cap_mask=self._cap_mask,
-            u16_out=self.u16, interpret=self.interpret,
+        (meta_out, tokens, first_u8, pairs_u8, pack_buf, mrec_pos,
+         mrec_id) = (
+            _raw_encode_chunk_jit(
+                jnp.asarray(pad), jnp.asarray(meta_in),
+                self._tk, self._tv, self._tv2, self._lut,
+                self._fpkey, self._fpval,
+                C=self.C, Fcap=self.Fcap, Dcap=self.Dcap, Tcap=self.Tcap,
+                depth=self.tab.depth, rank_in_val=self.tab.rank_in_val,
+                multi_ok=self.tab.multi_ok, partial=self.tab.partial,
+                probe_len=self._probe_len, cap_mask=self._cap_mask,
+                u16_out=self.u16, pack_bits=self.pack_bits,
+                interpret=self.interpret,
+            )
         )
         spec = None
         spec_mode = self._pred_mode
         if spec_mode is not None:
             from .merge import slice_prefix
 
-            # coarse 256 KB rounding: each distinct slice length is its
-            # own executable, and a mid-run compile on a loaded tunnel
-            # costs seconds — coarse rounding keeps the shape set tiny
-            # and stable across chunks and runs
-            SGRAN = 1 << 18
-            est = int(n * self._pred_bpb * 1.15) + SGRAN
-            if spec_mode:
-                ne = min(-(-est // SGRAN) * SGRAN, 2 * self.Tcap)
-                spec = slice_prefix(esc_buf, ne)
+            # coarse rounding: each distinct slice length is its own
+            # executable, and a mid-run compile on a loaded tunnel costs
+            # seconds — coarse rounding keeps the shape set tiny and
+            # stable across chunks and runs
+            SGRAN = 1 << 17
+            neT = min(
+                -(-(int(n * self._pred_tpb * 1.15) + SGRAN) // SGRAN)
+                * SGRAN,
+                self.Tcap,
+            )
+            if spec_mode == 3:
+                # finer rounding: records are sparse (~0.05/byte), so
+                # the coarse token-stream granularity over-fetched 2x
+                MGRAN = 1 << 15
+                neM = min(
+                    -(-(int(n * self._pred_mr * 1.15) + MGRAN) // MGRAN)
+                    * MGRAN,
+                    self.Mcap,
+                )
+                spec = (slice_prefix(mrec_pos, neM),
+                        slice_prefix(mrec_id, neM))
+            elif spec_mode == 2:
+                spec = (slice_prefix(pack_buf,
+                                     (neT // 8) * self.pack_bits),)
+            elif spec_mode == 1:
+                neH = min(
+                    -(-(int(neT * self._pred_hr * 1.3) + SGRAN) // SGRAN)
+                    * SGRAN,
+                    self.Tcap // 2,
+                )
+                spec = (slice_prefix(first_u8, neT),
+                        slice_prefix(pairs_u8, 2 * neH))
             else:
-                ne = min(-(-(est // 2) // SGRAN) * SGRAN, self.Tcap)
-                spec = slice_prefix(tokens, ne)
+                spec = (slice_prefix(tokens, neT),)
         try:
             meta_out.copy_to_host_async()
             if spec is not None:
-                spec.copy_to_host_async()
+                for s in spec:
+                    s.copy_to_host_async()
         except Exception:  # pragma: no cover - backends without async
             pass
-        return (meta_out, tokens, esc_buf, spec, spec_mode, n, n_docs,
-                seg_ends)
+        return (meta_out, tokens, first_u8, pairs_u8, pack_buf,
+                mrec_pos, mrec_id, spec, spec_mode, n, n_docs, seg_ends)
 
     def finish(self, handles, chunk_np: np.ndarray):
         """Sync one launch; returns (tokens int32 [T], seg_counts int64
@@ -610,27 +791,97 @@ class RawChunkEncoder:
         words re-encode from it on the exact host path)."""
         from .merge import slice_prefix
 
-        (meta_out, tokens, esc_buf, spec, spec_mode, n, n_docs,
-         seg_ends) = handles
+        (meta_out, tokens, first_u8, pairs_u8, pack_buf, mrec_pos,
+         mrec_id, spec, spec_mode, n, n_docs, seg_ends) = handles
+        bufs = (meta_out, tokens, first_u8, pairs_u8, pack_buf,
+                mrec_pos, mrec_id, spec or ())
         meta = np.asarray(meta_out)
-        W, T, F, mode, H = (int(x) for x in meta[:5])
+        W, T, F, mode, H, M = (int(x) for x in meta[:6])
         if T > self.Tcap or F > self.Fcap:
-            self.tok._retire((meta_out, tokens, esc_buf, spec))
+            self.tok._retire(bufs)
             return None
         GRAN = 1 << 16
-        blen = (self.Tcap + 2 * H) if mode else 2 * T
         self._pred_mode = mode
-        self._pred_bpb = max(blen / max(n, 1), 0.05)
-        if mode:  # escape-coded u8 stream (marker 255 + 2-byte records)
-            need = min(-(-max(blen, 1) // GRAN) * GRAN, self.Tcap * 2)
-            if spec is not None and spec_mode == 1 and spec.shape[0] >= need:
-                buf = np.asarray(spec)
+        self._pred_tpb = max(T / max(n, 1), 0.05)
+        self._pred_hr = H / max(T, 1)
+        self._pred_mr = max(M / max(n, 1), 0.002)
+
+        def rnd(k: int, cap: int) -> int:
+            return min(-(-max(k, 1) // GRAN) * GRAN, cap)
+
+        if mode == 3:  # sparse merge records; singles from chunk bytes
+            if (spec is not None and spec_mode == 3
+                    and spec[0].shape[0] >= M):
+                pb = np.asarray(spec[0])
+                ib = np.asarray(spec[1])
+            else:
+                pb = np.asarray(
+                    slice_prefix(mrec_pos, rnd(M, self.Mcap))
+                )
+                ib = np.asarray(
+                    slice_prefix(mrec_id, rnd(M, self.Mcap))
+                )
+            mpos = pb[:M] & 0xFFFFFF
+            mlen = pb[:M] >> 24
+            mid = ib[:M].astype(np.int32)
+            # continuation bytes of merged spans and every byte of a
+            # flagged word drop out of the stream; all other bytes are
+            # their own seed token
+            delta = np.zeros(n + 1, np.int32)
+            delta[mpos + 1] += 1          # span starts are distinct...
+            delta[mpos + mlen] -= 1       # ...and span ends are too
+            frn = meta[6 + self.Dcap : 6 + self.Dcap + 3 * F]
+            if F:
+                fr3 = frn.reshape(F, 3)
+                fs = np.minimum(fr3[:, 0], n)
+                fe = np.minimum(fr3[:, 0] + fr3[:, 1], n)
+                np.add.at(delta, fs, 1)   # flag spans can abut merged
+                np.subtract.at(delta, fe, 1)
+            drop = np.cumsum(delta[:n]) > 0
+            ids = self._lut_host[chunk_np]
+            if M:
+                ids = ids.copy()
+                ids[mpos] = mid
+            toks = ids[~drop]
+            if toks.shape[0] != T:  # pragma: no cover
+                raise RuntimeError("sparse-stream length mismatch")
+        elif mode == 2:  # bit-packed: groups of 8 tokens -> pack_bits bytes
+            B = self.pack_bits
+            G = (T + 7) // 8
+            need = G * B
+            if (spec is not None and spec_mode == 2
+                    and spec[0].shape[0] >= need):
+                buf = np.asarray(spec[0])
             else:  # prediction miss: fetch the exact prefix
-                buf = np.asarray(slice_prefix(esc_buf, need))
-            toks = buf[:T].astype(np.int32)
+                buf = np.asarray(
+                    slice_prefix(pack_buf, rnd(need, (self.Tcap // 8) * B))
+                )
+            g = buf[: G * B].reshape(G, B).astype(np.uint32)
+            cols = np.empty((G, 8), np.int32)
+            for k in range(8):
+                j, s = (B * k) // 8, (B * k) % 8
+                v = g[:, j] >> np.uint32(s)
+                got = 8 - s
+                while got < B:
+                    j += 1
+                    v = v | (g[:, j] << np.uint32(got))
+                    got += 8
+                cols[:, k] = (v & np.uint32((1 << B) - 1)).astype(np.int32)
+            toks = cols.reshape(-1)[:T].copy()
+        elif mode == 1:  # escape-coded (marker 255 + 2-byte records)
+            if (spec is not None and spec_mode == 1
+                    and spec[0].shape[0] >= T
+                    and spec[1].shape[0] >= 2 * H):
+                fb, pb = np.asarray(spec[0]), np.asarray(spec[1])
+            else:
+                fb = np.asarray(slice_prefix(first_u8, rnd(T, self.Tcap)))
+                pb = np.asarray(
+                    slice_prefix(pairs_u8, rnd(2 * H, self.Tcap))
+                )
+            toks = fb[:T].astype(np.int32)
             escm = toks == 255
-            rec = buf[self.Tcap : self.Tcap + 2 * H]
             if H:
+                rec = pb[: 2 * H]
                 vals = rec[0::2].astype(np.int32) | (
                     rec[1::2].astype(np.int32) << 8
                 )
@@ -638,15 +889,16 @@ class RawChunkEncoder:
                     raise RuntimeError("escape-stream record mismatch")
                 toks[escm] = vals
         else:
-            need = min(-(-max(T, 1) // GRAN) * GRAN, self.Tcap)
-            if spec is not None and spec_mode == 0 and spec.shape[0] >= need:
-                toks = np.asarray(spec)[:T].astype(np.int32)
+            need = rnd(T, self.Tcap)
+            if (spec is not None and spec_mode == 0
+                    and spec[0].shape[0] >= T):
+                toks = np.asarray(spec[0])[:T].astype(np.int32)
             else:
                 toks = np.asarray(slice_prefix(tokens, need))[:T].astype(
                     np.int32
                 )
         seg_cum = meta[6 : 6 + n_docs].astype(np.int64)
-        self.tok._retire((meta_out, tokens, esc_buf, spec))
+        self.tok._retire(bufs)
         stats = {
             "device_bytes": n,
             "words": W,

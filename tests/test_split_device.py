@@ -394,3 +394,69 @@ def test_segmented_kernel_parity(byte_tok):
         assert got == exp, (r, cur, wb, got, exp)
     # dead lanes stay holes
     assert (out[np.asarray(deadm)] == -1).all()
+
+
+# ------------------------------------------------- stream mode selection
+
+
+def test_raw_stream_mode_selection(byte_tok):
+    """The device header picks the cheapest stream encoding by exact d2h
+    volume (mode 0 plain, 1 escape-coded, 2 bit-packed, 3 sparse merge
+    records) and every chosen path decodes byte-exactly.  Volumes are
+    recomputed independently from the oracle ids + vocab spellings; the
+    fixture vocab (768 ids) packs at 10 bits, so merge-heavy text must
+    choose mode 2 while unmergeable single-byte streams (M = 0) must
+    choose the zero-download sparse mode 3."""
+    from hutoken_tpu.ops.split import RawChunkEncoder
+
+    cases = [
+        # merge-heavy: real corpus words -> mostly learned ids >= 255
+        " ".join(ft.CORPUS.split()[:160]),
+        # unmergeable: short words of control bytes never trained into
+        # pairs, so every token is a single-byte seed (M = 0)
+        "\x01 \x02 \x03 \x04 " * 75,
+    ]
+    id2str = byte_tok.ctx.vocab.id2str
+    seen = set()
+    for doc in cases:
+        enc = RawChunkEncoder(byte_tok, **SMALL)
+        assert enc.pack_bits == 10
+        chunk = np.frombuffer(doc.encode("utf-8"), dtype=np.uint8)
+        seg_ends = np.array([len(chunk)], dtype=np.int32)
+        h = enc.launch(chunk, seg_ends)
+        toks, seg, _stats = enc.finish(h, chunk)
+        want = oracle.encode(byte_tok.ctx, doc)
+        assert toks.tolist() == want
+        assert seg.tolist() == [len(want)]
+        T = len(want)
+        H = sum(1 for t in want if t >= 255)
+        # raw byte length of a byte-encoder token = remapped chars
+        M = sum(1 for t in want if len(id2str[t].decode("utf-8")) > 1)
+        vols = {0: 2 * T, 1: T + 2 * H, 2: 10 * ((T + 7) // 8), 3: 8 * M}
+        got_mode = enc._pred_mode
+        assert vols[got_mode] == min(vols.values()), (doc[:20], got_mode)
+        seen.add(got_mode)
+    assert seen == {2, 3}, seen
+
+
+def test_raw_spec_prefetch_paths(byte_tok):
+    """Speculative prefetch: chunk 2+ rides the predicted prefix when it
+    covers the need and refetches exactly when it does not — both paths
+    byte-exact (same encoder instance so the predictors persist)."""
+    from hutoken_tpu.ops.split import RawChunkEncoder
+
+    enc = RawChunkEncoder(byte_tok, **SMALL)
+    docs = [
+        " ".join(ft.CORPUS.split()[:120]),   # primes the predictors
+        " ".join(ft.CORPUS.split()[120:240]),  # spec hit (similar rate)
+        " ".join(ft.CORPUS.split()[:6]),     # tiny: spec covers easily
+        "\x01\x02" * 400,                    # regime flip: mode miss
+    ]
+    for doc in docs:
+        chunk = np.frombuffer(doc.encode("utf-8"), dtype=np.uint8)
+        seg_ends = np.array([len(chunk)], dtype=np.int32)
+        h = enc.launch(chunk, seg_ends)
+        toks, seg, _stats = enc.finish(h, chunk)
+        want = oracle.encode(byte_tok.ctx, doc)
+        assert toks.tolist() == want, doc[:20]
+        assert seg.tolist() == [len(want)]

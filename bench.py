@@ -209,7 +209,7 @@ def run_child(config: str, mb: float, check: bool) -> None:
     # the host is a noisy 2-vCPU shared VM (CPU-steal bursts cause ~2x
     # run-to-run swings); each timed run is short, so take the best of
     # several fully-cold runs
-    runs = {"small": 5, "unique": 3}.get(config, 3)
+    runs = {"small": 5, "unique": 5}.get(config, 3)
     best_dt = float("inf")
     dev_bytes_run = 0
     flagged_run = words_run = 0

@@ -68,21 +68,19 @@ def _compact(new):
     """Stable in-shard compaction: kept (!= -1) elements keep order, holes
     sink to the shard tail (so array adjacency = pair adjacency next step).
 
-    cumsum + scatter instead of a stable argsort: a sort of the full shard
-    is ~30x the cost of this scatter on TPU and is the compile-heavy op in
-    the scanned train step.
-    """
+    ONE payload-carrying key sort: kept elements key by index, holes by
+    n + index (stability by key uniqueness).  Measured faster in the
+    scanned train step than both a stable argsort and the previous
+    cumsum + scatter (TPU scatters run ~130M elem/s; the bitonic sort
+    moves the same data in fewer passes)."""
+    import jax
     import jax.numpy as jnp
 
-    keep = new != -1
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     n = new.shape[0]
-    # masked elements target index n -> dropped by the OOB mode
-    return (
-        jnp.full((n,), -1, new.dtype)
-        .at[jnp.where(keep, pos, n)]
-        .set(new, mode="drop")
-    )
+    idx = jax.lax.iota(jnp.int32, n)
+    keys = jnp.where(new != -1, idx, n + idx)
+    _k, out = jax.lax.sort((keys, new), num_keys=1)
+    return out
 
 
 # max merge compositions applied in one string-trainer step (splits of
@@ -244,6 +242,28 @@ def _make_shard_ops(K: int, n_dev: int, k_top: int = 1024):
         length = idx - startpos + 1
         segend = jnp.concatenate([diff, jnp.ones((1,), bool)])
         realend = segend & (sa < hi)
+        k = min(k_top, n)
+        if n_dev == 1:
+            # single-shard fast path: the shard's own top-k IS the
+            # candidate union and its counts are already exact, so the
+            # rank-compacted table (4 full-stream scatters) and the
+            # cross-shard binary search are pure overhead — top_k
+            # straight off the sorted stream's segment ends instead
+            # (the scanned string trainer runs this 16x per dispatch)
+            from ..ops.merge import fast_gather
+
+            topv, topi = jax.lax.top_k(jnp.where(realend, length, 0), k)
+            have = topv > 0
+            ga = jnp.where(have, fast_gather(sa, topi), hi)
+            gb = jnp.where(have, fast_gather(sb, topi), hi)
+            lpos = jnp.where(have, fast_gather(sp, topi), -1)
+            sh = jnp.where(have, 0, -1)
+            # no-op collective on the 1-wide axis: satisfies shard_map's
+            # replication (vma) check for the P() out_specs
+            ga, gb, topv, sh, lpos = jax.lax.psum(
+                (ga, gb, topv, sh, lpos), "data"
+            )
+            return ga, gb, topv, sh, lpos, topv[k - 1]
         # dense sorted segment table (rank-compacted): keys ascending,
         # padded with (hi, hi) — the binary-search target
         seg_rank = jnp.cumsum(segstart.astype(jnp.int32)) - 1
@@ -252,7 +272,6 @@ def _make_shard_ops(K: int, n_dev: int, k_top: int = 1024):
         db = jnp.full((n,), hi, jnp.int32).at[tgt].set(sb, mode="drop")
         dcnt = jnp.zeros((n,), jnp.int32).at[tgt].set(length, mode="drop")
         dlast = jnp.full((n,), -1, jnp.int32).at[tgt].set(sp, mode="drop")
-        k = min(k_top, n)
         topv, topi = jax.lax.top_k(dcnt, k)
         t_s = topv[k - 1]
         # replicated candidate union via scatter-into-own-slot + psum
@@ -355,6 +374,30 @@ def _make_shard_ops(K: int, n_dev: int, k_top: int = 1024):
         new = jnp.where(consumed, -1, new)
         return _compact(new)
 
+    def probe_pairs(ids, qa, qb):
+        """Exact global (count, last-shard, last-pos) for P specific
+        query pairs (pad with -1).  O(P*n) elementwise compares — the
+        resolver for near-tie certification failures (P <= ~64): when a
+        competitor group is within ``missing * bound`` of the winner,
+        querying just its uncounted compositions settles the pick
+        exactly without the full-stream host download."""
+        a, b, pos, _lv = _pair_operands(ids)
+        valid = (a >= 0) & (b >= 0)
+        m = (
+            (a[None, :] == qa[:, None])
+            & (b[None, :] == qb[:, None])
+            & valid[None, :]
+        )
+        cnt = jax.lax.psum(jnp.sum(m.astype(jnp.int32), axis=1), "data")
+        idxs = jax.lax.axis_index("data")
+        lpos_sh = jnp.max(jnp.where(m, pos[None, :], -1), axis=1)
+        has = lpos_sh >= 0
+        sh = jax.lax.pmax(jnp.where(has, idxs, -1), "data")
+        lp = jax.lax.pmax(
+            jnp.where(has & (idxs == sh), lpos_sh, -1), "data"
+        )
+        return cnt, sh, lp
+
     return {
         "count_shard": count_shard,
         "pick_best": pick_best,
@@ -363,6 +406,7 @@ def _make_shard_ops(K: int, n_dev: int, k_top: int = 1024):
         "count_pick_sorted": count_pick_sorted,
         "count_candidates": count_candidates,
         "pick_candidates": pick_candidates,
+        "probe_pairs": probe_pairs,
     }
 
 
@@ -589,6 +633,13 @@ def make_string_step(mesh, k_top: int = 1024):
         out_specs=P("data"),
     )
 
+    probe_fn = shard_map(
+        ops["probe_pairs"],
+        mesh=mesh,
+        in_specs=(P("data"), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+
     @jax.jit
     def string_step(ids, c1, c2, new_id):
         return fused_fn(ids, c1, c2, jnp.asarray([new_id], jnp.int32))
@@ -597,14 +648,18 @@ def make_string_step(mesh, k_top: int = 1024):
     def merge_multi_step(ids, c1, c2, new_id):
         return multi_fn(ids, c1, c2, jnp.asarray([new_id], jnp.int32))
 
-    return string_step, merge_multi_step
+    @jax.jit
+    def probe_step(ids, qa, qb):
+        return probe_fn(ids, qa, qb)
+
+    return string_step, merge_multi_step, probe_step
 
 
 # scan-driver telemetry (tests + bench notes): chunks dispatched, fully
 # committed chunks, divergent sub-steps (rollback + exact re-run), and
 # certification fallbacks to the exact host pick
 STRING_SCAN_STATS = {"chunks": 0, "committed": 0, "divergent": 0,
-                     "exact_picks": 0}
+                     "exact_picks": 0, "probe_picks": 0}
 
 
 def make_string_scan_step(mesh, S: int, k_top: int = 1024):
@@ -630,17 +685,23 @@ def make_string_scan_step(mesh, S: int, k_top: int = 1024):
     n_dev = mesh.devices.size
     ops = _make_shard_ops(2, n_dev, k_top=k_top)
 
-    def chunk(ids, start_csid):
+    def chunk(ids, start_csid, qa, qb):
         def body(carry, i):
             ids = carry
             ga, gb, cnt, sh, lpos, bound = ops["count_candidates"](ids)
             id1, id2, c, _ok = ops["pick_candidates"](
                 ga, gb, cnt, sh, lpos, bound
             )
+            # watch-list: exact per-sub-step counts for pairs the host
+            # flagged as recurring near-tie contenders — resolves their
+            # certification inline so the chunk commits instead of
+            # rolling back (O(P*n) compares, noise next to the sorts)
+            wc, wsh, wlp = ops["probe_pairs"](ids, qa, qb)
             merged = ops["apply_merge"](ids, id1, id2, start_csid[0] + i)
             ids = jnp.where(c > 0, merged, ids)
             step_out = jnp.concatenate(
-                [ga, gb, cnt, sh, lpos, jnp.stack([bound, id1, id2, c])]
+                [ga, gb, cnt, sh, lpos, wc, wsh, wlp,
+                 jnp.stack([bound, id1, id2, c])]
             )
             return ids, step_out
         ids, outs = jax.lax.scan(
@@ -649,13 +710,13 @@ def make_string_scan_step(mesh, S: int, k_top: int = 1024):
         return ids, outs
 
     chunk_fn = shard_map(
-        chunk, mesh=mesh, in_specs=(P("data"), P()),
+        chunk, mesh=mesh, in_specs=(P("data"), P(), P(), P()),
         out_specs=(P("data"), P()),
     )
 
     @jax.jit
-    def scan_fn(ids, start_csid):
-        return chunk_fn(ids, jnp.asarray([start_csid], jnp.int32))
+    def scan_fn(ids, start_csid, qa, qb):
+        return chunk_fn(ids, jnp.asarray([start_csid], jnp.int32), qa, qb)
 
     return scan_fn
 
@@ -784,7 +845,21 @@ def _distributed_train_string(
 
     _enable_cache()
     n_dev = mesh.devices.size
-    string_step, merge_multi_step = make_string_step(mesh, k_top=k_top)
+    # the Fagin bound is (2L-1) * B with B = the k-th-largest per-shard
+    # pair count; L (max spelling length) grows ~linearly with training,
+    # so a small k leaves B ~70-80 on MB-scale corpora and certification
+    # fails chronically past ~100 merges (measured: 311/314 chunks fell
+    # to the full-ids host pick at k=1024 -> 1.1 merges/s).  A deeper
+    # candidate table pushes B into the count tail; the extra candidate
+    # rows only cost download + host-dict size.
+    kv = os.environ.get("HUTOKEN_TPU_STRING_KTOP", "8192")
+    try:
+        k_top = max(int(kv), k_top)
+    except ValueError:
+        pass
+    string_step, merge_multi_step, probe_step = make_string_step(
+        mesh, k_top=k_top
+    )
 
     # vocab bookkeeping (the returned artifact, with reference quirks)
     str2id: dict[bytes, int] = {}
@@ -918,6 +993,56 @@ def _distributed_train_string(
         if verbose:
             print(f"resumed {len(replay)} merges from {checkpoint_path}")
 
+    PROBE_P = 64  # static probe width: one compiled executable
+    # recurring near-tie contenders (see the scan driver): insertion-
+    # ordered, oldest evicted beyond PROBE_P
+    watch: dict[tuple[int, int], None] = {}
+
+    def resolve_near_ties(ids_now, groups, ps, B):
+        """Settle an uncertified pick by querying ONLY the uncounted
+        compositions of the winner and every contending group
+        (``probe_pairs``: one tiny dispatch), instead of downloading
+        the full id stream for a host pick.  Caller must have verified
+        the unseen-group guard (win_c > (2L-1)*B).  Returns
+        (win_s, win_c) or None when > PROBE_P queries would be needed.
+
+        Exactness: after the probe every contender's count and
+        last-occurrence are exact; non-contenders satisfy
+        count <= cc + missing*B < win_c <= final winner count, so they
+        can neither win nor tie."""
+        win_s, (win_c, _wl) = _pick_group(groups)
+        need: list[tuple[int, int]] = []
+        for s, (cc, _l) in groups.items():
+            missing = [c for c in comps_of(s) if c not in ps]
+            if not missing:
+                continue
+            if s == win_s or win_c <= cc + len(missing) * B:
+                need.extend(missing)
+        need = list(dict.fromkeys(need))
+        for p in need:  # future chunks probe these inline
+            watch.pop(p, None)
+            watch[p] = None
+        while len(watch) > PROBE_P:
+            watch.pop(next(iter(watch)))
+        if not need:
+            return win_s, win_c
+        if len(need) > PROBE_P:
+            return None
+        qa = np.full(PROBE_P, -1, np.int32)
+        qb = np.full(PROBE_P, -1, np.int32)
+        for i, (x, y) in enumerate(need):
+            qa[i], qb[i] = x, y
+        cnt, sh, lp = probe_step(
+            ids_now, jnp.asarray(qa), jnp.asarray(qb)
+        )
+        cnt, sh, lp = np.asarray(cnt), np.asarray(sh), np.asarray(lp)
+        ps2 = dict(ps)
+        for i, (x, y) in enumerate(need):
+            if cnt[i] > 0:
+                ps2[(x, y)] = (int(cnt[i]), (int(sh[i]), int(lp[i])))
+        w2, (c2, _l2) = _pick_group(_group_stats(ps2, csid2spell))
+        return w2, c2
+
     # ---- scan-batched speculative driver (default): S merges per
     # dispatch with host-side exact validation and rollback (see
     # make_string_scan_step).  HUTOKEN_TPU_STRING_SCAN=0 selects the
@@ -930,19 +1055,49 @@ def _distributed_train_string(
     if S > 1:
         scan_fn = make_string_scan_step(mesh, S, k_top=k_top)
 
-        def parse_step(row):
-            Jv = (row.shape[0] - 4) // 5
+        def parse_step(row, wlist):
+            """Candidate rows -> pair dict, numpy-filtered to the pairs
+            that can still influence the group pick.
+
+            Pairs with count <= thr are dropped and thr is FOLDED INTO
+            the bound (B_eff = max(B, thr)), so the validator's
+            missing-composition and unseen-group formulas stay exact —
+            a dropped pair is indistinguishable from a non-candidate.
+            Without this the host parses k_top entries per sub-step in
+            interpreted Python (k_top * S dict inserts per chunk
+            dominated the certified path).  Watch-list rows are exact
+            and bypass the filter."""
+            Jv = (row.shape[0] - 4 - 3 * PROBE_P) // 5
             ga, gb, cnt = row[0:Jv], row[Jv : 2 * Jv], row[2 * Jv : 3 * Jv]
             sh, lpos = row[3 * Jv : 4 * Jv], row[4 * Jv : 5 * Jv]
-            B = int(row[5 * Jv])
-            dev_pair = (int(row[5 * Jv + 1]), int(row[5 * Jv + 2]))
+            w0 = 5 * Jv
+            wc = row[w0 : w0 + PROBE_P]
+            wsh = row[w0 + PROBE_P : w0 + 2 * PROBE_P]
+            wlp = row[w0 + 2 * PROBE_P : w0 + 3 * PROBE_P]
+            tail = w0 + 3 * PROBE_P
+            B = int(row[tail])
+            dev_pair = (int(row[tail + 1]), int(row[tail + 2]))
+            vmask = (ga != hi) & (cnt > 0)
+            if vmask.any():
+                cmax = int(cnt[vmask].max())
+                L = max(len(s) for s in spell2csid)
+                # keep thr low enough that the winner still clears the
+                # (2L-1) * B_eff unseen-group guard with 2x margin
+                thr = cmax // (4 * L + 2)
+                if thr > B:
+                    B = thr
+                    vmask &= cnt > thr
+            idx = np.flatnonzero(vmask)
             ps: dict = {}
-            for j in range(Jv):
-                if ga[j] == hi or cnt[j] == 0:
-                    continue
+            for j in idx.tolist():
                 ps[(int(ga[j]), int(gb[j]))] = (
                     int(cnt[j]), (int(sh[j]), int(lpos[j]))
                 )
+            for i, pair in enumerate(wlist):
+                # count 0 is as load-bearing as a positive count: the
+                # pair is then KNOWN absent, not "missing" — leaving it
+                # out would keep its group uncertifiable forever
+                ps[pair] = (int(wc[i]), (int(wsh[i]), int(wlp[i])))
             return ps, B, dev_pair
 
         stop_all = False
@@ -950,7 +1105,14 @@ def _distributed_train_string(
             cs_start = len(csid2spell)
             saved = ids
             STRING_SCAN_STATS["chunks"] += 1
-            ids2, packed = scan_fn(ids, cs_start)
+            wlist = list(watch)[:PROBE_P]
+            qa = np.full(PROBE_P, -1, np.int32)
+            qb = np.full(PROBE_P, -1, np.int32)
+            for i, (x, y) in enumerate(wlist):
+                qa[i], qb[i] = x, y
+            ids2, packed = scan_fn(
+                ids, cs_start, jnp.asarray(qa), jnp.asarray(qb)
+            )
             arr = np.asarray(packed)
             n_valid = 0
             applied: list[tuple[int, int]] = []
@@ -958,13 +1120,14 @@ def _distributed_train_string(
             for i in range(arr.shape[0]):
                 if count >= vocab_size:
                     break
-                ps, B, dev_pair = parse_step(arr[i])
+                ps, B, dev_pair = parse_step(arr[i], wlist)
                 if not ps:
                     stop_all = True  # < two live elements (src/bpe.c:124)
                     break
                 groups = _group_stats(ps, csid2spell)
                 win_s, (win_c, _wl) = _pick_group(groups)
                 safe = True
+                can_query = False
                 if B > 0:
                     L = max(len(s) for s in spell2csid)
                     safe = win_c > (2 * L - 1) * B
@@ -975,11 +1138,27 @@ def _distributed_train_string(
                             missing = sum(
                                 1 for comp in comps_of(s) if comp not in ps
                             )
-                            if win_c <= cc + missing * B:
+                            # missing == 0 -> the competitor's count AND
+                            # last-occurrence are exact, so an exact tie
+                            # is already resolved by _pick_group's
+                            # tie-break; only uncounted compositions
+                            # make the comparison uncertain — and those
+                            # resolve with a targeted probe after the
+                            # rollback replay
+                            if missing and win_c <= cc + missing * B:
                                 safe = False
+                                can_query = True
                                 break
                 if not safe:
-                    divergent = ("exact", None)
+                    if os.environ.get("HUTOKEN_TPU_STRING_DEBUG") == "1":
+                        L = max(len(s) for s in spell2csid)
+                        print(f"[sdbg] uncert win_c={win_c} B={B} L={L} "
+                              f"guard={(2*L-1)*B} query={can_query}")
+                    divergent = (
+                        ("query", (groups, ps, B))
+                        if can_query
+                        else ("exact", None)
+                    )
                     break
                 comps = comps_of(win_s)
                 if (
@@ -1017,6 +1196,16 @@ def _distributed_train_string(
                 )
             kind, data = divergent
             STRING_SCAN_STATS["divergent"] += 1
+            if kind == "query":
+                # the replayed ids == the uncertified sub-step's state,
+                # so its candidate stats are valid — settle the pick
+                # with one tiny probe dispatch
+                r = resolve_near_ties(ids, *data)
+                if r is not None:
+                    STRING_SCAN_STATS["probe_picks"] += 1
+                    win_s, win_c = r
+                else:
+                    kind = "exact"
             if kind == "exact":
                 STRING_SCAN_STATS["exact_picks"] += 1
                 picked = _host_exact_string_pick(
@@ -1025,7 +1214,7 @@ def _distributed_train_string(
                 if picked is None:
                     break
                 win_s, (win_c, _wl) = picked
-            else:
+            elif kind == "apply":
                 win_s, win_c = data
             bookkeep(win_s, win_c)
             g, comps = intern_winner(win_s)
@@ -1064,10 +1253,19 @@ def _distributed_train_string(
             arr[3 * J : 4 * J], arr[4 * J : 5 * J],
         )
         B = int(arr[-1])
+        vmask = (ga != hi) & (cnt > 0)
+        if vmask.any():
+            # same exactness-preserving candidate filter as the scan
+            # driver's parse_step: drop pairs <= thr and fold thr into
+            # the bound (a dropped pair == a non-candidate)
+            cmax = int(cnt[vmask].max())
+            L = max(len(s) for s in spell2csid)
+            thr = cmax // (4 * L + 2)
+            if thr > B:
+                B = thr
+                vmask &= cnt > thr
         pair_stats: dict[tuple[int, int], tuple[int, tuple[int, int]]] = {}
-        for j in range(ga.shape[0]):
-            if ga[j] == hi or cnt[j] == 0:
-                continue
+        for j in np.flatnonzero(vmask).tolist():
             # "last occurrence" is the lexicographic (shard, local pos)
             # pair — overflow-free global ordering
             pair_stats[(int(ga[j]), int(gb[j]))] = (
@@ -1094,6 +1292,7 @@ def _distributed_train_string(
             # at most B when uncounted)
             L = max(len(s) for s in spell2csid)
             safe = win_c > (2 * L - 1) * B
+            can_query = False
             if safe:
                 for s, (c, _l) in groups.items():
                     if s == win_s:
@@ -1103,16 +1302,28 @@ def _distributed_train_string(
                         for comp in comps_of(s)
                         if comp not in pair_stats
                     )
-                    if win_c <= c + missing * B:
+                    # missing == 0 -> exact count and last-occurrence,
+                    # so exact ties are already resolved by
+                    # _pick_group's tie-break (see scan driver)
+                    if missing and win_c <= c + missing * B:
                         safe = False
+                        can_query = True
                         break
             if not safe:
-                picked = _host_exact_string_pick(
-                    _fetch_global(ids), csid2spell
+                picked = (
+                    resolve_near_ties(ids, groups, pair_stats, B)
+                    if can_query
+                    else None
                 )
-                if picked is None:
-                    break
-                win_s, (win_c, _win_l) = picked
+                if picked is not None:
+                    win_s, win_c = picked
+                else:
+                    picked = _host_exact_string_pick(
+                        _fetch_global(ids), csid2spell
+                    )
+                    if picked is None:
+                        break
+                    win_s, (win_c, _win_l) = picked
         bookkeep(win_s, win_c)
         g, comps = intern_winner(win_s)
         if len(comps) <= MAXC:

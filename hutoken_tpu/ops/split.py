@@ -286,13 +286,11 @@ def _raw_encode_chunk_jit(
     ~130M elem/s on this hardware and would dominate otherwise.
 
     ``meta_in`` int32 [2 + Dcap] = [n_valid, n_docs, doc_ends...] — ONE
-    upload; returns (meta_out int32 [6 + Dcap + 3*Fcap], tokens [Tcap]
-    u16/i32, first_u8 [Tcap], pairs_u8 [2*Hcap], pack_buf u8
-    [pack_bits * Tcap/8], mrec_pos i32 [Mcap], mrec_id u16/i32 [Mcap])
-    — ONE small download plus
-    exact prefix slices of whichever stream encoding the header marks
-    cheapest (mode 0 = plain, 1 = escape-coded, 2 = bit-packed, 3 =
-    sparse merge records; singles reconstructed host-side from the
+    upload; returns (meta_out int32 [6 + Dcap + 3*Fcap], blob u8
+    [BLOB]) — ONE small download plus one exact prefix slice of the
+    blob, which holds whichever stream encoding the header marks
+    cheapest (mode 0 = plain u16/i32, 1 = escape-coded, 2 = bit-packed,
+    3 = sparse merge records; singles reconstructed host-side from the
     chunk bytes).  meta_out layout:
 
     * [0:6] = [W, T, F, mode, H, 0]: word count (stats), total device
@@ -481,7 +479,7 @@ def _raw_encode_chunk_jit(
     #   mode 2: bit-packed                     pack_bits * ceil(T/8)
     #   mode 3: sparse merge records           8 * M   (singles rebuilt
     #           host-side from the chunk bytes via the byte->seed LUT)
-    Mcap = max(Tcap // 16, 1 << 15)
+    Mcap = max(Tcap // 16, min(1 << 15, Tcap // 2))
     H = jnp.sum((valid_lane & (out >= 255)).astype(jnp.int32))
     M = jnp.sum(merged_lane.astype(jnp.int32))
     Hcap = Tcap // 2
@@ -526,88 +524,103 @@ def _raw_encode_chunk_jit(
     tiota = lax.iota(jnp.int32, Tcap)
     tmask = tiota < T
     tok_i32 = jnp.where(tmask, toks_sorted[:Tcap], 0)
-    out_dtype = jnp.uint16 if u16_out else jnp.int32
-    tokens = tok_i32.astype(out_dtype)
 
-    # --- sparse merge records (mode 3): [Mcap, 2] i32 of
-    # (byte_pos | span << 24, token id) straight off the sort prefix —
-    # one Mcap-sized gather for the spans, no second sort.  Gated by
-    # lax.cond so dense chunks never pay the gathers.
-    def _mrecs_live(args):
-        skeys_s, toks_sorted, span_f = args
+    # --- ONE mode-overlaid u8 output blob.  Returning device buffers
+    # through the tunnel costs ~1.1 ms per MB of STATIC output size
+    # (measured: identical compute, 7 big outputs = +25 ms/chunk over
+    # tiny outputs), so the selected stream encoding is written into a
+    # single shared buffer instead of five parallel ones:
+    #   mode 0: little-endian u16/i32 tokens      [tok_w * T]
+    #   mode 1: escape u8 stream ++ 2-byte records [T + 2*H]
+    #   mode 2: bit-packed groups                  [pack_bits * ceil(T/8)]
+    #   mode 3: (pos u24, span u8, id u16/u32) records  [R * M]
+    # The host fetches one prefix of the exact advertised volume.
+    R = 6 if u16_out else 8
+    tok_w_static = 2 if u16_out else 4
+    stream_max = (
+        (Tcap // 8) * pack_bits if pack_bits else tok_w_static * Tcap
+    )
+    BLOB = max(stream_max, R * Mcap)
+
+    def _sparse_blob(_):
         mlane = jnp.clip(skeys_s[:Mcap], 0, NL - 1)
         mpos = (mlane // 128) * WINDOW + (mlane % 128)
-        mspan = fast_gather(span_f, mlane)
-        return (
-            (mpos | (mspan << 24)).astype(jnp.int32),
-            toks_sorted[:Mcap].astype(out_dtype),
+        mspan = fast_gather(span.reshape(-1), mlane)
+        mid = toks_sorted[:Mcap]
+        cols = [mpos & 0xFF, lax.shift_right_logical(mpos, 8) & 0xFF,
+                lax.shift_right_logical(mpos, 16) & 0xFF, mspan & 0xFF,
+                mid & 0xFF, lax.shift_right_logical(mid, 8) & 0xFF]
+        if R == 8:
+            cols += [lax.shift_right_logical(mid, 16) & 0xFF,
+                     lax.shift_right_logical(mid, 24) & 0xFF]
+        rec = jnp.stack(cols, axis=1).reshape(-1).astype(jnp.uint8)
+        if BLOB > R * Mcap:
+            rec = jnp.concatenate(
+                [rec, jnp.zeros(BLOB - R * Mcap, jnp.uint8)]
+            )
+        return rec
+
+    def _dense_blob(_):
+        def _fit(x):
+            if x.shape[0] < BLOB:
+                return jnp.concatenate(
+                    [x, jnp.zeros(BLOB - x.shape[0], jnp.uint8)]
+                )
+            return x[:BLOB]
+
+        def _b_plain(_o):
+            cols = [tok_i32 & 0xFF, lax.shift_right_logical(tok_i32, 8) & 0xFF]
+            if not u16_out:
+                cols += [lax.shift_right_logical(tok_i32, 16) & 0xFF,
+                         lax.shift_right_logical(tok_i32, 24) & 0xFF]
+            return _fit(
+                jnp.stack(cols, axis=1).reshape(-1).astype(jnp.uint8)
+            )
+
+        def _b_esc(_o):
+            esc = tmask & (tok_i32 >= 255)
+            first_u8 = jnp.where(
+                esc, 255, jnp.where(tmask, tok_i32, 0)
+            ).astype(jnp.uint8)
+            hkeys = jnp.where(esc, tiota, Tcap + tiota)
+            _hk, hval_sorted = lax.sort((hkeys, tok_i32), num_keys=1)
+            hval = hval_sorted[:Hcap]
+            pairs_u8 = jnp.stack(
+                [hval & 0xFF, lax.shift_right_logical(hval, 8) & 0xFF],
+                axis=1,
+            ).reshape(-1).astype(jnp.uint8)
+            # records start right after the T stream bytes: dynamic-
+            # update at offset T into an overflow-padded base, then
+            # trim (T + 2*Hcap never exceeds Tcap + 2*Hcap)
+            base = jnp.concatenate(
+                [first_u8, jnp.zeros(2 * Hcap, jnp.uint8)]
+            )
+            base = lax.dynamic_update_slice(base, pairs_u8, (T,))
+            return _fit(base)
+
+        def _b_pack(_o):
+            if pack_bits:
+                B = pack_bits
+                Gn = Tcap // 8
+                tg = tok_i32[: Gn * 8].reshape(Gn, 8)
+                cols = []
+                for j in range(B):
+                    k0 = (8 * j) // B
+                    s0 = 8 * j - B * k0
+                    v = lax.shift_right_logical(tg[:, k0], s0)
+                    if B - s0 < 8 and k0 + 1 < 8:
+                        v = v | (tg[:, k0 + 1] << (B - s0))
+                    cols.append(v)
+                return _fit(
+                    jnp.stack(cols, axis=1).reshape(-1).astype(jnp.uint8)
+                )
+            return jnp.zeros(BLOB, jnp.uint8)  # mode 2 unreachable
+
+        return lax.switch(
+            jnp.clip(mode, 0, 2), [_b_plain, _b_esc, _b_pack], 0
         )
 
-    mrec_pos, mrec_id = lax.cond(
-        mode == 3,
-        _mrecs_live,
-        lambda args: (
-            jnp.zeros(Mcap, jnp.int32),
-            jnp.zeros(Mcap, out_dtype),
-        ),
-        (skeys_s, toks_sorted, span.reshape(-1)),
-    )
-
-    # --- dense stream encodings, gated off entirely for sparse chunks
-    # (their Tcap-sized sort/stack work would be pure waste there):
-    #
-    # mode 1, escape-coded u8: 1 byte per token < 255, marker 255 + a
-    # 2-byte record for the rest — unmergeable-heavy corpora with high
-    # seed ids halve the d2h volume vs u16.  H was counted order-free
-    # before the sort.
-    #
-    # mode 2, bit-packed: ceil(log2(vocab)) bits per token, groups of 8
-    # tokens -> pack_bits bytes, pure elementwise (each output byte
-    # spans <= 2 tokens because pack_bits >= 9) — B/16 of the u16
-    # volume for a vocab needing B bits.
-    def _dense_live(tok_i32):
-        esc = tmask & (tok_i32 >= 255)
-        first_u8 = jnp.where(
-            esc, 255, jnp.where(tmask, tok_i32, 0)
-        ).astype(jnp.uint8)
-        hkeys = jnp.where(esc, tiota, Tcap + tiota)
-        _hk, hval_sorted = lax.sort((hkeys, tok_i32), num_keys=1)
-        hval = hval_sorted[:Hcap]
-        pairs_u8 = jnp.stack(
-            [hval & 0xFF, lax.shift_right_logical(hval, 8) & 0xFF],
-            axis=1,
-        ).reshape(-1).astype(jnp.uint8)  # [2*Hcap]
-        if pack_bits:
-            B = pack_bits
-            Gn = Tcap // 8
-            tg = tok_i32[: Gn * 8].reshape(Gn, 8)
-            cols = []
-            for j in range(B):
-                k0 = (8 * j) // B
-                s0 = 8 * j - B * k0
-                v = lax.shift_right_logical(tg[:, k0], s0)
-                if B - s0 < 8 and k0 + 1 < 8:
-                    v = v | (tg[:, k0 + 1] << (B - s0))
-                cols.append(v)
-            pack_buf = jnp.stack(cols, axis=1).reshape(-1).astype(
-                jnp.uint8
-            )
-        else:
-            pack_buf = jnp.zeros(8, jnp.uint8)
-        return first_u8, pairs_u8, pack_buf
-
-    first_u8, pairs_u8, pack_buf = lax.cond(
-        mode != 3,
-        _dense_live,
-        lambda _t: (
-            jnp.zeros(Tcap, jnp.uint8),
-            jnp.zeros(2 * Hcap, jnp.uint8),
-            jnp.zeros(
-                (Tcap // 8) * pack_bits if pack_bits else 8, jnp.uint8
-            ),
-        ),
-        tok_i32,
-    )
+    blob = lax.cond(mode == 3, _sparse_blob, _dense_blob, 0)
 
     # --- per-segment cumulative token counts: vc at the last byte's lane
     p_end = jnp.maximum(doc_ends - 1, 0)
@@ -636,8 +649,7 @@ def _raw_encode_chunk_jit(
     W = jnp.sum((start & valid).astype(jnp.int32))
     header = jnp.stack([W, T, F, mode, H, M]).astype(jnp.int32)
     meta_out = jnp.concatenate([header, doc_cum, frecs.reshape(-1)])
-    return (meta_out, tokens, first_u8, pairs_u8, pack_buf, mrec_pos,
-            mrec_id)
+    return meta_out, blob
 
 
 class RawChunkEncoder:
@@ -685,7 +697,14 @@ class RawChunkEncoder:
         V = int(tokenizer.tables.vocab_size)
         B = max((max(V - 1, 1)).bit_length(), 9)
         self.pack_bits = B if (B <= 24 and B != 16) else 0
-        self.Mcap = max(self.Tcap // 16, 1 << 15)
+        self.Mcap = max(self.Tcap // 16, min(1 << 15, self.Tcap // 2))
+        self.R = 6 if self.u16 else 8  # sparse record bytes
+        stream_max = (
+            (self.Tcap // 8) * self.pack_bits
+            if self.pack_bits
+            else (2 if self.u16 else 4) * self.Tcap
+        )
+        self.BLOB = max(stream_max, self.R * self.Mcap)
         # host-side byte -> seed-id LUT for the sparse stream (mode 3):
         # every chunk byte outside a merged span or flagged word is a
         # seed token the host rebuilds for free
@@ -715,8 +734,7 @@ class RawChunkEncoder:
         meta_in[0] = n
         meta_in[1] = n_docs
         meta_in[2 : 2 + n_docs] = seg_ends
-        (meta_out, tokens, first_u8, pairs_u8, pack_buf, mrec_pos,
-         mrec_id) = (
+        meta_out, blob = (
             _raw_encode_chunk_jit(
                 jnp.asarray(pad), jnp.asarray(meta_in),
                 self._tk, self._tv, self._tv2, self._lut,
@@ -739,44 +757,29 @@ class RawChunkEncoder:
             # seconds — coarse rounding keeps the shape set tiny and
             # stable across chunks and runs
             SGRAN = 1 << 17
-            neT = min(
-                -(-(int(n * self._pred_tpb * 1.15) + SGRAN) // SGRAN)
-                * SGRAN,
-                self.Tcap,
-            )
+            estT = int(n * self._pred_tpb * 1.15)
             if spec_mode == 3:
-                # finer rounding: records are sparse (~0.05/byte), so
-                # the coarse token-stream granularity over-fetched 2x
-                MGRAN = 1 << 15
-                neM = min(
-                    -(-(int(n * self._pred_mr * 1.15) + MGRAN) // MGRAN)
-                    * MGRAN,
-                    self.Mcap,
-                )
-                spec = (slice_prefix(mrec_pos, neM),
-                        slice_prefix(mrec_id, neM))
+                MGRAN = 1 << 15  # records are sparse; finer rounding
+                est = self.R * (int(n * self._pred_mr * 1.15) + MGRAN)
+                gran = self.R * MGRAN
             elif spec_mode == 2:
-                spec = (slice_prefix(pack_buf,
-                                     (neT // 8) * self.pack_bits),)
+                est = (estT // 8 + 1) * self.pack_bits
+                gran = SGRAN
             elif spec_mode == 1:
-                neH = min(
-                    -(-(int(neT * self._pred_hr * 1.3) + SGRAN) // SGRAN)
-                    * SGRAN,
-                    self.Tcap // 2,
-                )
-                spec = (slice_prefix(first_u8, neT),
-                        slice_prefix(pairs_u8, 2 * neH))
+                est = estT + 2 * int(estT * self._pred_hr * 1.3)
+                gran = SGRAN
             else:
-                spec = (slice_prefix(tokens, neT),)
+                est = (2 if self.u16 else 4) * estT
+                gran = SGRAN
+            ne = min(-(-(est + gran) // gran) * gran, self.BLOB)
+            spec = slice_prefix(blob, ne)
         try:
             meta_out.copy_to_host_async()
             if spec is not None:
-                for s in spec:
-                    s.copy_to_host_async()
+                spec.copy_to_host_async()
         except Exception:  # pragma: no cover - backends without async
             pass
-        return (meta_out, tokens, first_u8, pairs_u8, pack_buf,
-                mrec_pos, mrec_id, spec, spec_mode, n, n_docs, seg_ends)
+        return (meta_out, blob, spec, spec_mode, n, n_docs, seg_ends)
 
     def finish(self, handles, chunk_np: np.ndarray):
         """Sync one launch; returns (tokens int32 [T], seg_counts int64
@@ -791,10 +794,8 @@ class RawChunkEncoder:
         words re-encode from it on the exact host path)."""
         from .merge import slice_prefix
 
-        (meta_out, tokens, first_u8, pairs_u8, pack_buf, mrec_pos,
-         mrec_id, spec, spec_mode, n, n_docs, seg_ends) = handles
-        bufs = (meta_out, tokens, first_u8, pairs_u8, pack_buf,
-                mrec_pos, mrec_id, spec or ())
+        (meta_out, blob, spec, spec_mode, n, n_docs, seg_ends) = handles
+        bufs = (meta_out, blob, spec)
         meta = np.asarray(meta_out)
         W, T, F, mode, H, M = (int(x) for x in meta[:6])
         if T > self.Tcap or F > self.Fcap:
@@ -806,24 +807,36 @@ class RawChunkEncoder:
         self._pred_hr = H / max(T, 1)
         self._pred_mr = max(M / max(n, 1), 0.002)
 
-        def rnd(k: int, cap: int) -> int:
-            return min(-(-max(k, 1) // GRAN) * GRAN, cap)
+        if mode == 3:
+            need = self.R * M
+        elif mode == 2:
+            need = self.pack_bits * ((T + 7) // 8)
+        elif mode == 1:
+            need = T + 2 * H
+        else:
+            need = (2 if self.u16 else 4) * T
+        if (spec is not None and spec_mode == mode
+                and spec.shape[0] >= need):
+            buf = np.asarray(spec)
+        else:  # prediction miss: fetch the exact rounded prefix
+            gran = self.R * (1 << 15) if mode == 3 else GRAN
+            buf = np.asarray(
+                slice_prefix(
+                    blob, min(-(-max(need, 1) // gran) * gran, self.BLOB)
+                )
+            )
 
         if mode == 3:  # sparse merge records; singles from chunk bytes
-            if (spec is not None and spec_mode == 3
-                    and spec[0].shape[0] >= M):
-                pb = np.asarray(spec[0])
-                ib = np.asarray(spec[1])
-            else:
-                pb = np.asarray(
-                    slice_prefix(mrec_pos, rnd(M, self.Mcap))
-                )
-                ib = np.asarray(
-                    slice_prefix(mrec_id, rnd(M, self.Mcap))
-                )
-            mpos = pb[:M] & 0xFFFFFF
-            mlen = pb[:M] >> 24
-            mid = ib[:M].astype(np.int32)
+            rec = (
+                buf[:need].reshape(M, self.R).astype(np.int32)
+                if M
+                else np.zeros((0, self.R), np.int32)
+            )
+            mpos = rec[:, 0] | (rec[:, 1] << 8) | (rec[:, 2] << 16)
+            mlen = rec[:, 3]
+            mid = rec[:, 4] | (rec[:, 5] << 8)
+            if self.R == 8:
+                mid = mid | (rec[:, 6] << 16) | (rec[:, 7] << 24)
             # continuation bytes of merged spans and every byte of a
             # flagged word drop out of the stream; all other bytes are
             # their own seed token
@@ -845,58 +858,39 @@ class RawChunkEncoder:
             toks = ids[~drop]
             if toks.shape[0] != T:  # pragma: no cover
                 raise RuntimeError("sparse-stream length mismatch")
-        elif mode == 2:  # bit-packed: groups of 8 tokens -> pack_bits bytes
+        elif mode == 2:  # bit-packed: groups of 8 tokens -> B bytes
             B = self.pack_bits
             G = (T + 7) // 8
-            need = G * B
-            if (spec is not None and spec_mode == 2
-                    and spec[0].shape[0] >= need):
-                buf = np.asarray(spec[0])
-            else:  # prediction miss: fetch the exact prefix
-                buf = np.asarray(
-                    slice_prefix(pack_buf, rnd(need, (self.Tcap // 8) * B))
-                )
             g = buf[: G * B].reshape(G, B).astype(np.uint32)
             cols = np.empty((G, 8), np.int32)
             for k in range(8):
-                j, s = (B * k) // 8, (B * k) % 8
-                v = g[:, j] >> np.uint32(s)
-                got = 8 - s
+                j, sft = (B * k) // 8, (B * k) % 8
+                v = g[:, j] >> np.uint32(sft)
+                got = 8 - sft
                 while got < B:
                     j += 1
                     v = v | (g[:, j] << np.uint32(got))
                     got += 8
-                cols[:, k] = (v & np.uint32((1 << B) - 1)).astype(np.int32)
+                cols[:, k] = (v & np.uint32((1 << B) - 1)).astype(
+                    np.int32
+                )
             toks = cols.reshape(-1)[:T].copy()
         elif mode == 1:  # escape-coded (marker 255 + 2-byte records)
-            if (spec is not None and spec_mode == 1
-                    and spec[0].shape[0] >= T
-                    and spec[1].shape[0] >= 2 * H):
-                fb, pb = np.asarray(spec[0]), np.asarray(spec[1])
-            else:
-                fb = np.asarray(slice_prefix(first_u8, rnd(T, self.Tcap)))
-                pb = np.asarray(
-                    slice_prefix(pairs_u8, rnd(2 * H, self.Tcap))
-                )
-            toks = fb[:T].astype(np.int32)
+            toks = buf[:T].astype(np.int32)
             escm = toks == 255
             if H:
-                rec = pb[: 2 * H]
+                rec = buf[T : T + 2 * H]
                 vals = rec[0::2].astype(np.int32) | (
                     rec[1::2].astype(np.int32) << 8
                 )
                 if vals.shape[0] != int(escm.sum()):  # pragma: no cover
                     raise RuntimeError("escape-stream record mismatch")
                 toks[escm] = vals
-        else:
-            need = rnd(T, self.Tcap)
-            if (spec is not None and spec_mode == 0
-                    and spec[0].shape[0] >= T):
-                toks = np.asarray(spec[0])[:T].astype(np.int32)
-            else:
-                toks = np.asarray(slice_prefix(tokens, need))[:T].astype(
-                    np.int32
-                )
+        else:  # plain little-endian u16/i32
+            toks = np.frombuffer(
+                buf[:need].tobytes(),
+                dtype="<u2" if self.u16 else "<i4",
+            ).astype(np.int32)
         seg_cum = meta[6 : 6 + n_docs].astype(np.int64)
         self.tok._retire(bufs)
         stats = {

@@ -659,7 +659,7 @@ def make_string_step(mesh, k_top: int = 1024):
 # committed chunks, divergent sub-steps (rollback + exact re-run), and
 # certification fallbacks to the exact host pick
 STRING_SCAN_STATS = {"chunks": 0, "committed": 0, "divergent": 0,
-                     "exact_picks": 0, "probe_picks": 0}
+                     "exact_picks": 0, "probe_picks": 0, "deep_picks": 0}
 
 
 def make_string_scan_step(mesh, S: int, k_top: int = 1024):
@@ -869,6 +869,42 @@ def _distributed_train_string(
     # csid interning: device element id -> spelling (csid 0 spells
     # b"\\x00" — the vocab's b"" key is a save-format quirk only)
     csid2spell: list[bytes] = [bytes([i]) for i in range(256)]
+    # rolling-hash + length per csid (numpy-indexable), for the deep
+    # pick's vectorized group aggregation: H(ab) = H(a) + P^len(a)*H(b)
+    # mod 2^64.  Hash equality is VERIFIED by real concat on the few
+    # groups that matter before any decision rides on it.
+    _HP = np.uint64(1099511628211)
+    _pows = [np.uint64(1)]
+
+    def _pow_hp(k: int) -> np.uint64:
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the point
+            while len(_pows) <= k:
+                _pows.append(_pows[-1] * _HP)
+        return _pows[k]
+
+    def _hash_bytes(b: bytes) -> np.uint64:
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for i, c in enumerate(b):
+                h = h + _pow_hp(i) * np.uint64(c + 1)
+        return h
+
+    _sh_cap = 4096
+    spell_h = np.zeros(_sh_cap, np.uint64)
+    spell_l = np.zeros(_sh_cap, np.int64)
+    for _i in range(256):
+        spell_h[_i] = _hash_bytes(csid2spell[_i])
+        spell_l[_i] = len(csid2spell[_i])
+    _sh_state = {"n": 256, "h": spell_h, "l": spell_l}
+
+    def _note_csid(s_: bytes) -> None:
+        st = _sh_state
+        if st["n"] == st["h"].shape[0]:
+            st["h"] = np.concatenate([st["h"], np.zeros_like(st["h"])])
+            st["l"] = np.concatenate([st["l"], np.zeros_like(st["l"])])
+        st["h"][st["n"]] = _hash_bytes(s_)
+        st["l"][st["n"]] = len(s_)
+        st["n"] += 1
     spell2csid: dict[bytes, int] = {s: i for i, s in enumerate(csid2spell)}
 
     ids_np = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
@@ -898,6 +934,7 @@ def _distributed_train_string(
             g = len(csid2spell)
             csid2spell.append(win_s)
             spell2csid[win_s] = g
+            _note_csid(win_s)
         return g, comps_of(win_s)
 
     def comp_arrays(comps):
@@ -998,12 +1035,216 @@ def _distributed_train_string(
     # ordered, oldest evicted beyond PROBE_P
     watch: dict[tuple[int, int], None] = {}
 
+    def _nlen() -> int:
+        """Distinct csid spelling lengths — the sharp unseen-group
+        factor.  Any string has at most this many parses into two
+        existing spellings: distinct parses have distinct LEFT lengths,
+        and each left part must be a spelling, so its length lies in
+        the spelling-length set.  (Replaces the looser 2L-1 split-count
+        bound; the difference decides certification in the tail, where
+        win counts approach the parse-count scale.)"""
+        return len({len(s) for s in spell2csid})
+
+    _deep = {"fn": None}
+
+    def _deep_fn():
+        """Jitted fused tail step: apply the pending multi-composition
+        merge (no-op on -1 comps), run the DEEP candidate count
+        (k = 32768 — the Fagin bound B lands in the count tail, usually
+        0-1, so the nlen-guard certifies far past the scan's k_top) and
+        probe the watch-list, all in ONE dispatch + ONE download."""
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if _deep["fn"] is None:
+            ops2 = _make_shard_ops(2, n_dev, k_top=32768)
+
+            def fused(ids, c1, c2, new_id, qa, qb):
+                ids = ops2["apply_merge_multi"](ids, c1, c2, new_id)
+                ga, gb, cnt, sh, lpos, bound = ops2["count_candidates"](
+                    ids
+                )
+                wc, wsh, wlp = ops2["probe_pairs"](ids, qa, qb)
+                packed = jnp.concatenate(
+                    [ga, gb, cnt, sh, lpos, wc, wsh, wlp,
+                     bound.reshape(1)]
+                )
+                return ids, packed
+
+            fn = shard_map(
+                fused, mesh=mesh,
+                in_specs=(P("data"), P(), P(), P(), P(), P()),
+                out_specs=(P("data"), P()),
+            )
+            _deep["fn"] = jax.jit(
+                lambda ids, c1, c2, g, qa, qb: fn(
+                    ids, c1, c2, jnp.asarray([g], jnp.int32), qa, qb
+                )
+            )
+        return _deep["fn"]
+
+    def deep_exec(ids_now, pend):
+        """Run the fused deep step (optionally applying ``pend`` =
+        (c1, c2, g)) and return (new_ids, parse of the deep table).
+        Parse result: (win_s, win_c) or None when even the deep bound
+        cannot certify (caller falls back to the host pick)."""
+        noc = np.full(MAXC, -1, np.int32)
+        c1a, c2a, g = (noc, noc, 0) if pend is None else pend
+        wlist = list(watch)[:PROBE_P]
+        qa = np.full(PROBE_P, -1, np.int32)
+        qb = np.full(PROBE_P, -1, np.int32)
+        for i, (x, y) in enumerate(wlist):
+            qa[i], qb[i] = x, y
+        ids2, packed = _deep_fn()(
+            ids_now, jnp.asarray(c1a), jnp.asarray(c2a), g,
+            jnp.asarray(qa), jnp.asarray(qb)
+        )
+        arr = np.asarray(packed)
+        K = (arr.shape[0] - 1 - 3 * PROBE_P) // 5
+        ga, gb, cnt = arr[0:K], arr[K : 2 * K], arr[2 * K : 3 * K]
+        sh, lpos = arr[3 * K : 4 * K], arr[4 * K : 5 * K]
+        w0 = 5 * K
+        wprobed = {
+            pair: (int(arr[w0 + i]),
+                   (int(arr[w0 + PROBE_P + i]) << 32)
+                   | (int(arr[w0 + 2 * PROBE_P + i]) & 0xFFFFFFFF))
+            for i, pair in enumerate(wlist)
+        }
+        B = int(arr[-1])
+        return ids2, self_pick(ids2, ga, gb, cnt, sh, lpos, B, wprobed)
+
+    def self_pick(ids_now, ga, gb, cnt, sh, lpos, B, wprobed):
+        """Exact group pick over a deep candidate table.
+
+        Group aggregation is vectorized: pair spellings compare by a
+        64-bit rolling hash (H(ab) = H(a) + P^len(a)*H(b)), and the few
+        groups within reach of the winner are re-verified by REAL
+        concatenation before anything rides on the hash; their
+        uncounted compositions come from the watch probe or one extra
+        probe_pairs dispatch.  Groups further than nlen*B below the
+        winner cannot win or tie (every uncounted pair counts <= B).
+        Returns (win_s, win_c) or None (fall back to the host pick)."""
+        hi_ = 0x7FFFFFFF
+        vmask = (ga != hi_) & (cnt > 0)
+        if not vmask.any():
+            return None
+        nlen = _nlen()
+        cmax = int(cnt[vmask].max())
+        # thr >= 1: count-1 pairs can only matter via the bound, and
+        # folding them into B_eff keeps the aggregation at the count>=2
+        # pair set (the whole point of the deep table is B_eff ~ 1)
+        thr = max(1, cmax // (2 * nlen + 2))
+        if thr > B and (cnt > thr).any():
+            B = thr
+            vmask &= cnt > thr
+        idx = np.flatnonzero(vmask)
+        a, b = ga[idx], gb[idx]
+        c = cnt[idx].astype(np.int64)
+        last = (sh[idx].astype(np.int64) << 32) | lpos[idx].astype(
+            np.int64
+        )
+        st = _sh_state
+        with np.errstate(over="ignore"):  # mod-2^64 rolling hash
+            gkey = st["h"][a] + np.power(
+                _HP, st["l"][a].astype(np.uint64)
+            ) * st["h"][b]
+        order = np.argsort(gkey, kind="stable")
+        gk = gkey[order]
+        newg = np.concatenate(([True], gk[1:] != gk[:-1]))
+        gid = np.cumsum(newg) - 1
+        ng = int(gid[-1]) + 1
+        gcnt = np.zeros(ng, np.int64)
+        np.add.at(gcnt, gid, c[order])
+        glast = np.full(ng, -1, np.int64)
+        np.maximum.at(glast, gid, last[order])
+        # winner among groups: max count, tie-break min last
+        wcnt = int(gcnt.max())
+        wcand = np.flatnonzero(gcnt == wcnt)
+        _wg = int(wcand[np.argmin(glast[wcand])])
+        if B > 0 and wcnt <= nlen * B:
+            return None  # even the deep bound cannot certify
+        # contenders: only groups within nlen*B of the winner can reach
+        # it via uncounted compositions (each <= B)
+        cand = np.flatnonzero(gcnt >= wcnt - nlen * B)
+        gstart = np.flatnonzero(newg)
+        need: list[tuple[int, int]] = []
+        metas = []
+        for g in cand.tolist():
+            lo = gstart[g]
+            hi2 = gstart[g + 1] if g + 1 < ng else gk.shape[0]
+            rows = order[lo:hi2].tolist()
+            sp0 = (
+                csid2spell[int(a[rows[0]])] + csid2spell[int(b[rows[0]])]
+            )
+            pairs_g = set()
+            for r in rows:
+                if csid2spell[int(a[r])] + csid2spell[int(b[r])] != sp0:
+                    return None  # hash collision: punt to the host pick
+                pairs_g.add((int(a[r]), int(b[r])))
+            missing = [
+                q for q in comps_of(sp0)
+                if q not in pairs_g and q not in wprobed
+            ]
+            pre = [
+                q for q in comps_of(sp0)
+                if q not in pairs_g and q in wprobed
+            ]
+            need.extend(missing)
+            metas.append((g, sp0, missing, pre))
+        need = list(dict.fromkeys(need))
+        for q in need:  # future deep steps probe these inline
+            watch.pop(q, None)
+            watch[q] = None
+        while len(watch) > PROBE_P:
+            watch.pop(next(iter(watch)))
+        probed: dict[tuple[int, int], tuple[int, int]] = dict(wprobed)
+        if need:
+            if len(need) > PROBE_P:
+                return None
+            qa = np.full(PROBE_P, -1, np.int32)
+            qb = np.full(PROBE_P, -1, np.int32)
+            for i, (x, y) in enumerate(need):
+                qa[i], qb[i] = x, y
+            pc, psh, plp = (
+                np.asarray(x)
+                for x in probe_step(
+                    ids_now, jnp.asarray(qa), jnp.asarray(qb)
+                )
+            )
+            for i, q in enumerate(need):
+                probed[q] = (
+                    int(pc[i]),
+                    (int(psh[i]) << 32) | (int(plp[i]) & 0xFFFFFFFF),
+                )
+        best = None
+        for g, sp0, missing, pre in metas:
+            tot = int(gcnt[g])
+            lst = int(glast[g])
+            for q in missing + pre:
+                qc, ql = probed[q]
+                tot += qc
+                if qc > 0:
+                    lst = max(lst, ql)
+            key = (-tot, lst)
+            if best is None or key < best[0]:
+                best = (key, sp0, tot)
+        if best is None:  # pragma: no cover
+            return None
+        return best[1], best[2]
+
+    def deep_pick(ids_now):
+        """Standalone exact pick (no pending merge) — the scan and
+        classic loops' fallback when their k_top bound cannot certify."""
+        _ids2, picked = deep_exec(ids_now, None)
+        return picked
+
     def resolve_near_ties(ids_now, groups, ps, B):
         """Settle an uncertified pick by querying ONLY the uncounted
         compositions of the winner and every contending group
         (``probe_pairs``: one tiny dispatch), instead of downloading
         the full id stream for a host pick.  Caller must have verified
-        the unseen-group guard (win_c > (2L-1)*B).  Returns
+        the unseen-group guard (win_c > nlen * B).  Returns
         (win_s, win_c) or None when > PROBE_P queries would be needed.
 
         Exactness: after the probe every contender's count and
@@ -1080,10 +1321,9 @@ def _distributed_train_string(
             vmask = (ga != hi) & (cnt > 0)
             if vmask.any():
                 cmax = int(cnt[vmask].max())
-                L = max(len(s) for s in spell2csid)
                 # keep thr low enough that the winner still clears the
-                # (2L-1) * B_eff unseen-group guard with 2x margin
-                thr = cmax // (4 * L + 2)
+                # nlen * B_eff unseen-group guard with 2x margin
+                thr = cmax // (2 * _nlen() + 2)
                 if thr > B:
                     B = thr
                     vmask &= cnt > thr
@@ -1101,7 +1341,9 @@ def _distributed_train_string(
             return ps, B, dev_pair
 
         stop_all = False
-        while count < vocab_size and not stop_all:
+        demoted = False
+        tail_streak = 0
+        while count < vocab_size and not stop_all and not demoted:
             cs_start = len(csid2spell)
             saved = ids
             STRING_SCAN_STATS["chunks"] += 1
@@ -1129,8 +1371,7 @@ def _distributed_train_string(
                 safe = True
                 can_query = False
                 if B > 0:
-                    L = max(len(s) for s in spell2csid)
-                    safe = win_c > (2 * L - 1) * B
+                    safe = win_c > _nlen() * B
                     if safe:
                         for s, (cc, _l) in groups.items():
                             if s == win_s:
@@ -1151,9 +1392,8 @@ def _distributed_train_string(
                                 break
                 if not safe:
                     if os.environ.get("HUTOKEN_TPU_STRING_DEBUG") == "1":
-                        L = max(len(s) for s in spell2csid)
-                        print(f"[sdbg] uncert win_c={win_c} B={B} L={L} "
-                              f"guard={(2*L-1)*B} query={can_query}")
+                        print(f"[sdbg] uncert win_c={win_c} B={B} "
+                              f"guard={_nlen()*B} query={can_query}")
                     divergent = (
                         ("query", (groups, ps, B))
                         if can_query
@@ -1207,13 +1447,29 @@ def _distributed_train_string(
                 else:
                     kind = "exact"
             if kind == "exact":
-                STRING_SCAN_STATS["exact_picks"] += 1
-                picked = _host_exact_string_pick(
-                    _fetch_global(ids), csid2spell
-                )
-                if picked is None:
-                    break
-                win_s, (win_c, _wl) = picked
+                # guard failures at the chunk's first sub-step mean the
+                # tail regime has arrived (win counts at the parse-count
+                # scale): every chunk dispatch would be wasted, so after
+                # a short streak the per-merge classic loop (with the
+                # same deep/probe fallbacks) takes over
+                if n_valid == 0:
+                    tail_streak += 1
+                    if tail_streak >= 3:
+                        demoted = True
+                else:
+                    tail_streak = 0
+                dp = deep_pick(ids)
+                if dp is not None:
+                    STRING_SCAN_STATS["deep_picks"] += 1
+                    win_s, win_c = dp
+                else:
+                    STRING_SCAN_STATS["exact_picks"] += 1
+                    picked = _host_exact_string_pick(
+                        _fetch_global(ids), csid2spell
+                    )
+                    if picked is None:
+                        break
+                    win_s, (win_c, _wl) = picked
             elif kind == "apply":
                 win_s, win_c = data
             bookkeep(win_s, win_c)
@@ -1228,6 +1484,40 @@ def _distributed_train_string(
             if prev_key is not None and prev_key == win_s:
                 break
             prev_key = win_s
+        if not demoted:
+            checkpoint()
+            return str2id
+        # lean tail loop: once certification needs the deep bound every
+        # merge, scan chunks and k_top counts are pure waste — ONE fused
+        # dispatch per merge applies the previous winner, deep-counts,
+        # and probes the watch-list
+        pend = None
+        while count < vocab_size:
+            ids, picked = deep_exec(ids, pend)
+            pend = None
+            if picked is None:
+                picked = _host_exact_string_pick(
+                    _fetch_global(ids), csid2spell
+                )
+                if picked is None:
+                    break
+                win_s, (win_c, _wl) = picked
+            else:
+                win_s, win_c = picked
+            bookkeep(win_s, win_c)
+            g, comps = intern_winner(win_s)
+            if len(comps) <= MAXC:
+                pend = (*comp_arrays(comps), g)
+            else:  # pragma: no cover - needs a >MAXC-way spelling
+                host_merge(comps, g)
+            if prev_key is not None and prev_key == win_s:
+                break
+            prev_key = win_s
+        if pend is not None:  # flush the deferred final merge
+            c1a, c2a, g = pend
+            ids = merge_multi_step(
+                ids, jnp.asarray(c1a), jnp.asarray(c2a), g
+            )
         checkpoint()
         return str2id
 
@@ -1259,8 +1549,7 @@ def _distributed_train_string(
             # driver's parse_step: drop pairs <= thr and fold thr into
             # the bound (a dropped pair == a non-candidate)
             cmax = int(cnt[vmask].max())
-            L = max(len(s) for s in spell2csid)
-            thr = cmax // (4 * L + 2)
+            thr = cmax // (2 * _nlen() + 2)
             if thr > B:
                 B = thr
                 vmask &= cnt > thr
@@ -1288,10 +1577,9 @@ def _distributed_train_string(
         if B > 0:
             # certify: the winner's exact lower bound must beat every
             # other candidate group's upper bound and the unseen-group
-            # bound (a pair spelling has < 2L splits, each contributing
-            # at most B when uncounted)
-            L = max(len(s) for s in spell2csid)
-            safe = win_c > (2 * L - 1) * B
+            # bound (a spelling has at most _nlen() parses, each
+            # contributing at most B when uncounted)
+            safe = win_c > _nlen() * B
             can_query = False
             if safe:
                 for s, (c, _l) in groups.items():
@@ -1315,6 +1603,8 @@ def _distributed_train_string(
                     if can_query
                     else None
                 )
+                if picked is None:
+                    picked = deep_pick(ids)
                 if picked is not None:
                     win_s, win_c = picked
                 else:

@@ -131,8 +131,12 @@ def main() -> None:
             from hutoken_tpu.parallel.train import make_string_scan_step
 
             sv = os.environ.get("HUTOKEN_TPU_STRING_SCAN", "16")
-            scan_fn = make_string_scan_step(mesh, max(int(sv), 2))
-            out = scan_fn(ids_w, 256)
+            kv = os.environ.get("HUTOKEN_TPU_STRING_KTOP", "8192")
+            scan_fn = make_string_scan_step(
+                mesh, max(int(sv), 2), k_top=max(int(kv), 1024)
+            )
+            noq = jnp.full((64,), -1, jnp.int32)  # PROBE_P watch slots
+            out = scan_fn(ids_w, 256, noq, noq)
         else:
             K = vocab_size + 1
             scan_step, _f, _m = make_scan_train_step(

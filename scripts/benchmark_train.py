@@ -128,15 +128,20 @@ def main() -> None:
             w_np = np.concatenate([w_np, np.full(pad, -1, np.int32)])
         ids_w = shard_batch(mesh, jnp.asarray(w_np))
         if args.mode == "string":
-            from hutoken_tpu.parallel.train import make_string_scan_step
+            # the string trainer compiles several executables on demand
+            # (scan chunk, probe, fused deep-tail step — the tail only
+            # appears past ~650 merges), so the only warmup that covers
+            # them all is a full same-shape throwaway training run; the
+            # timed run below then measures pure steady-state
+            import contextlib
+            import io
 
-            sv = os.environ.get("HUTOKEN_TPU_STRING_SCAN", "16")
-            kv = os.environ.get("HUTOKEN_TPU_STRING_KTOP", "8192")
-            scan_fn = make_string_scan_step(
-                mesh, max(int(sv), 2), k_top=max(int(kv), 1024)
-            )
-            noq = jnp.full((64,), -1, jnp.int32)  # PROBE_P watch slots
-            out = scan_fn(ids_w, 256, noq, noq)
+            with contextlib.redirect_stdout(io.StringIO()):
+                distributed_bpe_train(
+                    corpus_with(seed + 1)[: len(corpus)], vocab_size,
+                    mesh=mesh,
+                )
+            out = (jnp.zeros(1),)
         else:
             K = vocab_size + 1
             scan_step, _f, _m = make_scan_train_step(
